@@ -1,0 +1,10 @@
+import pytest
+
+from pvt_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", app_name="pvt-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
