@@ -1,0 +1,263 @@
+"""The checkpointed planet build — stages, lineage, resumability.
+
+Reference lifecycle (src/main.rs:87-113): convert -> sort -> tree ->
+render, each persisting files to the planet dir; those file boundaries
+are the reference's resume points. Here every stage writes a parquet
+snapshot + a ``_lineage.json`` sidecar (stage name, code version,
+config fingerprint, input snapshot ids, row count, partition count,
+wall seconds). ``build_planet`` skips any stage whose snapshot already
+exists with a matching fingerprint — Iceberg-style snapshot semantics
+without requiring an Iceberg catalog in this sandbox (swap
+``.write.parquet`` for an Iceberg table write on a real cluster; the
+lineage JSON maps 1:1 onto Iceberg snapshot summary properties).
+
+Stage graph:
+
+  pages --extract--> points --hilbert sort--> points_sorted
+        --leaves--> leaves --tree--> tile_tree
+        --rules+content--> content --compose--> tiles
+        --metrics--> tile_manifest / zoom_metrics
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..manifest import DEFAULT_MANIFEST, Manifest, compile_rules
+from ..operators.compose import compose_tiles
+from ..operators.content import render_content, tile_manifest, write_content, zoom_metrics
+from ..operators.extract import EXTRACTOR_VERSION, extract_pages
+from ..operators.geotag import geotag
+from ..operators.hilbert_sort import hilbert_sort
+from ..operators.leaves import build_leaves
+from ..operators.rules import include_tags
+from ..operators.tree import build_tile_tree
+
+PIPELINE_VERSION = 1
+
+
+@dataclass
+class BuildConfig:
+    leaf_zoom: int = 12
+    sort_partitions: int | None = None
+    salt_threshold: int = 20_000
+    tags_from_url: bool = True  # synthesize feature tags from page urls
+    manifest: Manifest = field(default_factory=lambda: DEFAULT_MANIFEST)
+
+    def fingerprint(self) -> str:
+        m = self.manifest
+        return json.dumps(
+            {
+                "pipeline": PIPELINE_VERSION,
+                "extractor": EXTRACTOR_VERSION,
+                "leaf_zoom": self.leaf_zoom,
+                "salt_threshold": self.salt_threshold,
+                "manifest": [m.leaf_zoom, m.layer_order, sorted(m.rules)],
+            },
+            sort_keys=True,
+        )
+
+
+class Stage:
+    """One checkpointed stage: compute -> write -> lineage sidecar."""
+
+    def __init__(self, planet_dir: str, name: str, fingerprint: str):
+        self.path = os.path.join(planet_dir, name)
+        self.lineage_path = os.path.join(self.path, "_lineage.json")
+        self.name = name
+        self.fingerprint = fingerprint
+
+    def is_complete(self) -> bool:
+        if not os.path.exists(self.lineage_path):
+            return False
+        try:
+            with open(self.lineage_path) as f:
+                lin = json.load(f)
+            return lin.get("fingerprint") == self.fingerprint
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    def run(
+        self,
+        spark: SparkSession,
+        compute,
+        writer=None,
+        inputs: list[str] | None = None,
+    ) -> DataFrame:
+        if self.is_complete():
+            return spark.read.parquet(self.path)
+        t0 = time.time()
+        df = compute()
+        if writer is None:
+            df.write.mode("overwrite").parquet(self.path)
+        else:
+            writer(df, self.path)
+        out = spark.read.parquet(self.path)
+        # per-partition lineage: row count per file partition of the snapshot
+        part_counts = (
+            out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        )
+        lineage = {
+            "stage": self.name,
+            "fingerprint": self.fingerprint,
+            "inputs": inputs or [],
+            "row_count": int(sum(r["count"] for r in part_counts)),
+            "partitions": {str(r["pid"]): int(r["count"]) for r in part_counts},
+            "wall_sec": round(time.time() - t0, 3),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(self.lineage_path, "w") as f:
+            json.dump(lineage, f, indent=1, sort_keys=True)
+        return out
+
+
+def _featureize(points: DataFrame, tags_from_url: bool) -> DataFrame:
+    """points(url, mention_idx, lon/lat, h) -> features with stable 64-bit
+    ids + synthetic tags (pages carry no OSM tags; tag each mention so
+    the rule engine has something to chew on — key chosen by hash)."""
+    df = points.withColumn("feature_id", F.xxhash64("url", "mention_idx"))
+    if tags_from_url:
+        kinds = F.array(
+            *[F.lit(x) for x in ["place", "amenity", "highway", "building", "shop", "natural", "power"]]
+        )
+        vals = F.array(
+            *[F.lit(x) for x in ["city", "bus_station", "primary", "yes", "supermarket", "tree", "pole"]]
+        )
+        idx = F.pmod(F.xxhash64("feature_id"), F.lit(7)).cast("int")
+        df = df.withColumn(
+            "tags",
+            F.map_from_arrays(
+                F.array(F.element_at(kinds, idx + 1), F.lit("source")),
+                F.array(F.element_at(vals, idx + 1), F.lit("crawl")),
+            ),
+        )
+    return df
+
+
+def build_planet(
+    spark: SparkSession,
+    pages: DataFrame,
+    planet_dir: str,
+    config: BuildConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full build; returns the stage DataFrames."""
+    config = config or BuildConfig()
+    os.makedirs(planet_dir, exist_ok=True)
+    fp = config.fingerprint()
+    compiled = compile_rules(config.manifest)
+
+    def stage(name: str) -> Stage:
+        return Stage(planet_dir, name, fp)
+
+    # 1. extract + geotag + feature ids (one fused stage: no interim shuffle)
+    points = stage("points").run(
+        spark,
+        lambda: _featureize(geotag(extract_pages(pages)), config.tags_from_url),
+        inputs=["pages"],
+    )
+
+    # 2. global Hilbert sort (O1) — the one full shuffle
+    points_sorted = stage("points_sorted").run(
+        spark,
+        lambda: hilbert_sort(points, num_partitions=config.sort_partitions),
+        writer=lambda df, p: df.write.mode("overwrite").parquet(p),
+        inputs=["points"],
+    )
+
+    # 3. leaves (A3) + tile tree (A4)
+    leaves = stage("leaves").run(
+        spark, lambda: build_leaves(points_sorted, config.leaf_zoom), inputs=["points_sorted"]
+    )
+    tree = stage("tile_tree").run(
+        spark, lambda: build_tile_tree(leaves, config.leaf_zoom), inputs=["leaves"]
+    )
+
+    # 4. rule-filtered pyramid content (F1-F4 + A5)
+    content = stage("content").run(
+        spark,
+        lambda: render_content(points_sorted, config.manifest, compiled),
+        writer=write_content,
+        inputs=["points_sorted"],
+    )
+
+    # 5. tile payload assembly (A6/P7/DP, salted)
+    def _compose() -> DataFrame:
+        feats = content.join(
+            points_sorted.select(
+                "feature_id",
+                "tags",
+                F.col("lon_dm7"),
+                F.col("lat_dm7"),
+            ),
+            "feature_id",
+        )
+        from ..functions.geo import grid_x, grid_y
+
+        feats = feats.withColumn("gx", grid_x(F.col("lon_dm7"))).withColumn(
+            "gy", grid_y(F.col("lat_dm7"))
+        )
+        feats = include_tags(
+            feats.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [
+                            (i, e[4], e[5])
+                            for i, e in enumerate(compiled.evals)
+                        ],
+                        "eval_i int, include_kind string, include_keys array<string>",
+                    )
+                ),
+                "eval_i",
+                "left",
+            ),
+            all_tags=config.manifest.all_tags,
+        )
+        rf = feats.select(
+            "zoom",
+            "tile_h",
+            "feature_id",
+            "h",
+            F.explode("layers").alias("layer"),
+            "out_tags",
+            F.array("gx").alias("geom_x"),
+            F.array("gy").alias("geom_y"),
+        )
+        return compose_tiles(
+            rf, ["no_rule"] + config.manifest.layer_order, config.salt_threshold
+        )
+
+    tiles = stage("tiles").run(
+        spark,
+        _compose,
+        writer=lambda df, p: df.repartitionByRange("zoom", "tile_h")
+        .sortWithinPartitions("zoom", "tile_h")
+        .write.mode("overwrite")
+        .partitionBy("zoom")
+        .parquet(p),
+        inputs=["content", "points_sorted"],
+    )
+
+    # 6. metrics tables (S11 report analog)
+    manifest_df = stage("tile_manifest").run(
+        spark, lambda: tile_manifest(content), inputs=["content"]
+    )
+    metrics_df = stage("zoom_metrics").run(
+        spark, lambda: zoom_metrics(content), inputs=["content"]
+    )
+
+    return {
+        "points": points,
+        "points_sorted": points_sorted,
+        "leaves": leaves,
+        "tree": tree,
+        "content": content,
+        "tiles": tiles,
+        "tile_manifest": manifest_df,
+        "zoom_metrics": metrics_df,
+    }
