@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query — the Hilbert tile-pyramid build
+  (geotag-style points -> rules -> pyramid content -> tile manifest)
+  over the sf0.001 tables.
+- ``queries()``: one entry per implemented operator from SURVEY.md §2
+  (see pvt_spark/queries.py for the operator mapping in each docstring).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query; Hilbert-kernel queries are rows-only (q26-q28) except
+  q25 whose oracle is the reference's own golden constants.
 """
 
 from __future__ import annotations
@@ -13,26 +16,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pvt_spark.queries import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full tile-pyramid content build at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from pvt_spark.functions.geo import hilbert_h
+    from pvt_spark.manifest import DEFAULT_MANIFEST, compile_rules
+    from pvt_spark.operators.content import render_content, tile_manifest
+    from pvt_spark.queries import _SYNTH_LAT, _SYNTH_LON
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    kinds = ["place", "amenity", "highway", "building", "shop", "natural", "power"]
+    vals = ["city", "bus_station", "primary", "yes", "supermarket", "tree", "pole"]
+    kv = F.element_at(F.array(*[F.lit(k) for k in kinds]), (F.col("c_custkey") % 7 + 1).cast("int"))
+    vv = F.element_at(F.array(*[F.lit(v) for v in vals]), (F.col("c_custkey") % 7 + 1).cast("int"))
+    pts = cust.select(
+        F.col("c_custkey").alias("feature_id"),
+        F.expr(_SYNTH_LON).alias("lon_dm7"),
+        F.expr(_SYNTH_LAT).alias("lat_dm7"),
+        F.map_from_arrays(F.array(kv), F.array(vv)).alias("tags"),
+    ).withColumn("h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7")))
+    compiled = compile_rules(DEFAULT_MANIFEST)
+    content = render_content(pts, DEFAULT_MANIFEST, compiled)
+    return tile_manifest(content).orderBy("zoom", "tile_h")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

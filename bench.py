@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline tile-build + query throughput at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the end-to-end tile-build wall time over a
+synthetic pages table (pages -> extract -> geotag -> hilbert ->
+leaves/tree -> pyramid content -> salted compose), reported alongside
+pages/sec and tiles/sec in the "queries" map, plus a subset of the
+oracle queries for plan-regression tracking.
+
+Set PVT_BENCH_SCALING=1 to also run the build at local[8] and
+local[32] and report scaling efficiency (writes BENCH/BASELINE.md
+numbers; see BASELINE.md north-rule note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _build_once(master: str, n_pages: int, tmp_root: str) -> dict:
+    from pvt_spark.plans.pipeline import BuildConfig, build_planet
+    from pvt_spark.session import get_spark
+    from pvt_spark.sources.pages import synthesize_pages
+
+    spark = get_spark(master=master, app_name=f"pvt-bench-{master}")
+    spark.sparkContext.setLogLevel("ERROR")
+    planet = os.path.join(tmp_root, f"planet_{master.replace('[', '_').replace(']', '')}")
+    shutil.rmtree(planet, ignore_errors=True)
+    pages = synthesize_pages(spark, n_pages, seed=42)
+    t0 = time.time()
+    out = build_planet(spark, pages, planet, BuildConfig(leaf_zoom=12))
+    n_tiles = out["tiles"].count()
+    n_points = out["points"].count()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "wall_sec": wall,
+        "n_pages": n_pages,
+        "n_points": n_points,
+        "n_tiles": n_tiles,
+        "pages_per_sec": n_pages / wall,
+        "tiles_per_sec": n_tiles / wall,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    n_pages = int(os.environ.get("PVT_BENCH_PAGES", str(int(sf * 2_000_000))))
+    tmp_root = tempfile.mkdtemp(prefix="pvt_bench_")
+    timings: dict[str, float] = {}
+
+    try:
+        # headline: end-to-end tile build
+        build = _build_once(f"local[{cpus}]", n_pages, tmp_root)
+        timings["tile_build"] = round(build["wall_sec"], 3)
+        timings["pages_per_sec"] = round(build["pages_per_sec"], 1)
+        timings["tiles_per_sec"] = round(build["tiles_per_sec"], 1)
+
+        # representative oracle queries at sf_dir
+        from pvt_spark.queries import REGISTRY
+        from pvt_spark.session import get_spark
+
+        spark = get_spark(master=f"local[{cpus}]", app_name="pvt-bench-queries")
+        spark.sparkContext.setLogLevel("ERROR")
+        bench_queries = [
+            "q01_pricing_summary",
+            "q02_top_revenue_orders",
+            "q06_window_topn",
+            "q11_tile_counts",
+            "q12_knn",
+            "q13_pip",
+            "q14_exact_dedup",
+            "q20_minhash",
+            "q23_embedding_topk",
+            "q26_hilbert_leaves",
+            "q27_tile_tree",
+        ]
+        for name in bench_queries:
+            fn, _sql = REGISTRY[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        spark.stop()
+
+        if os.environ.get("PVT_BENCH_SCALING") == "1":
+            lo = _build_once("local[8]", n_pages, tmp_root)
+            hi = _build_once("local[32]", n_pages, tmp_root)
+            eff = (lo["wall_sec"] * 8) / (hi["wall_sec"] * 32)
+            timings["scaling_pages_per_sec_8"] = round(lo["pages_per_sec"], 1)
+            timings["scaling_pages_per_sec_32"] = round(hi["pages_per_sec"], 1)
+            timings["scaling_efficiency_8_to_32"] = round(eff, 3)
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "tile_build_wall_sec",
+                "value": timings.get("tile_build"),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

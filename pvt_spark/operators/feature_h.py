@@ -1,0 +1,161 @@
+"""A1/A2/J3: Hilbert location assignment for multi-point features.
+
+- Way h = Hilbert key of an interior point of its geometry, with the
+  reference's exact fallback ladder (src/sort.rs:262-383):
+    < 4 refs            -> first ref node's h
+    closed ring (>= 4)  -> polygon interior point
+    open line           -> linestring midpoint-ish interior point
+    failure             -> median ref's h, then first ref's h
+  Interior point computed in numpy (no shapely): for polygons, the
+  midpoint of the widest interval of ring crossings on the horizontal
+  line through the centroid-y (the classic representative-point
+  construction); for lines, the coordinate of the middle vertex.
+
+- Relation h = floor(mean of member h) (u128 sum in the reference,
+  src/sort.rs:389-491); nested relations resolved by a bounded
+  fixed-point driver loop (Catalyst has no recursion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .. import hilbert as hb
+
+_WAY_H_SCHEMA = StructType(
+    [StructField("feature_id", LongType()), StructField("h", LongType())]
+)
+
+
+def _interior_point(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
+    closed = len(xs) >= 4 and xs[0] == xs[-1] and ys[0] == ys[-1]
+    if not closed:
+        mid = len(xs) // 2
+        return float(xs[mid]), float(ys[mid])
+    cy = float(ys[:-1].mean())
+    x0, y0 = xs[:-1], ys[:-1]
+    x1, y1 = xs[1:], ys[1:]
+    cond = (y0 > cy) != (y1 > cy)
+    if not cond.any():
+        return float(xs[:-1].mean()), cy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        crossings = np.sort((x1 - x0)[cond] * (cy - y0[cond]) / (y1 - y0)[cond] + x0[cond])
+    if len(crossings) >= 2:
+        widths = crossings[1::2] - crossings[0::2][: len(crossings[1::2])]
+        if len(widths):
+            j = int(np.argmax(widths))
+            return float((crossings[2 * j] + crossings[2 * j + 1]) / 2.0), cy
+    return float(xs[:-1].mean()), cy
+
+
+def assign_way_h(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """ways(feature_id, refs array<long>) x nodes(feature_id, lon_dm7,
+    lat_dm7, h) -> ways + h column (J3 join + A2 aggregation)."""
+    way_nodes = (
+        ways.select("feature_id", F.posexplode("refs").alias("pos", "ref_id"))
+        .join(
+            nodes.select(
+                F.col("feature_id").alias("ref_id"),
+                "lon_dm7",
+                "lat_dm7",
+                F.col("h").alias("node_h"),
+            ),
+            "ref_id",
+        )
+    )
+
+    def per_way(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for fid, grp in pdf.groupby("feature_id", sort=False):
+            grp = grp.sort_values("pos")
+            n = len(grp)
+            node_h = grp["node_h"].to_numpy()
+            if n < 4:
+                h = int(node_h[0])
+            else:
+                xs = grp["lon_dm7"].to_numpy(dtype=np.float64)
+                ys = grp["lat_dm7"].to_numpy(dtype=np.float64)
+                try:
+                    ix, iy = _interior_point(xs, ys)
+                    h = int(
+                        hb.lonlat_to_signed_h(
+                            np.array([int(ix)], np.int64), np.array([int(iy)], np.int64)
+                        )[0]
+                    )
+                except Exception:  # fallback ladder: median ref then first ref
+                    h = int(node_h[n // 2]) if n else int(node_h[0])
+            out.append((fid, h))
+        return pd.DataFrame(out, columns=["feature_id", "h"])
+
+    hs = way_nodes.groupBy("feature_id").applyInPandas(
+        lambda pdf: per_way(pdf), _WAY_H_SCHEMA
+    )
+    return ways.join(hs, "feature_id", "left")
+
+
+def assign_relation_h(
+    relations: DataFrame,
+    nodes: DataFrame,
+    ways_with_h: DataFrame,
+    max_iters: int = 10,
+) -> DataFrame:
+    """A1: relation h = floor(mean member h), nested relations via a
+    bounded fixed-point loop (reference retry queue, src/sort.rs:462-487).
+
+    Mean is computed on UNBIASED u64 values through decimal(38,0) so the
+    u128-sum semantics are exact, then re-biased.
+    """
+    mem = relations.select(
+        "feature_id", F.explode("members").alias("m")
+    ).select(
+        "feature_id",
+        F.col("m.etype").alias("etype"),
+        F.col("m.ref").alias("ref_id"),
+    )
+    node_h = nodes.select(F.col("feature_id").alias("ref_id"), F.col("h").alias("mh"))
+    way_h = ways_with_h.select(F.col("feature_id").alias("ref_id"), F.col("h").alias("mh"))
+
+    resolved = relations.select("feature_id").withColumn("h", F.lit(None).cast("long")).where(F.lit(False))
+    pending = relations.select("feature_id")
+    # 2^63 exceeds Java long; build the decimal from a string literal
+    bias = F.lit("9223372036854775808").cast("decimal(38,0)")
+    for _ in range(max_iters):
+        rel_h = resolved.select(F.col("feature_id").alias("ref_id"), F.col("h").alias("mh"))
+        members_all = (
+            node_h.withColumn("et", F.lit("n"))
+            .unionByName(way_h.withColumn("et", F.lit("w")))
+            .unionByName(rel_h.withColumn("et", F.lit("r")))
+        )
+        sides = mem.join(pending, "feature_id").join(
+            members_all,
+            (mem["ref_id"] == members_all["ref_id"]) & (mem["etype"] == members_all["et"]),
+            "left",
+        )
+        agg = sides.groupBy(mem["feature_id"].alias("feature_id")).agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("mh").alias("n_resolved"),
+            F.sum(
+                (F.col("mh").cast("decimal(38,0)") + bias)
+            ).alias("sum_h"),
+        )
+        ready = agg.where(F.col("n_members") == F.col("n_resolved")).select(
+            "feature_id",
+            (
+                F.floor(F.col("sum_h") / F.col("n_members"))
+                - F.lit("9223372036854775808").cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        ready = ready.localCheckpoint(eager=True)
+        if ready.limit(1).count() == 0:
+            break
+        resolved = resolved.unionByName(ready).localCheckpoint(eager=True)
+        pending = pending.join(ready.select("feature_id"), "feature_id", "left_anti")
+        if pending.limit(1).count() == 0:
+            break
+    return relations.join(resolved, "feature_id", "left")

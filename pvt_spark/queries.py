@@ -1,0 +1,1000 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark, oracle-SQL)
+pair over the driver's testdata tables.
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle SQL runs on DuckDB over the same parquet files; the driver compares
+row count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased IDENTICALLY on both sides;
+- aggregates avoid raw float sums (addition-order nondeterminism):
+  money/measures go through ``cast(round(x*100) as bigint)`` cents or
+  integer quantization so sums are EXACT in any order;
+- ties in top-k/rank are always broken by a unique key.
+
+Geospatial queries that need the Hilbert kernel (not SQL-expressible)
+have oracle None -> driver records a rows-only check; their correctness
+is pinned by the golden tests in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Relational building blocks (SURVEY §2.4 joins, §2.5 aggs, §2.8 windows)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A8 analog: grouped aggregation with exact cent arithmetic."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       cast(sum(cast(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       cast(sum(cast(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi-join chain + top-k with deterministic tiebreak."""
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey, o_orderdate,
+       cast(sum(cast(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def q03_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 analog: multi-way dim join (broadcast dims) + agg."""
+    cust, orders, nation, region = load(spark, sf_dir, "customer", "orders", "nation", "region")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q03_SQL = """
+SELECT r_name, n_name, count(*) AS order_count,
+       cast(sum(cast(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 analog: existence semi-join -> per-priority counts."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    discounted = li.where(F.col("l_discount") >= 0.05).select("l_orderkey").distinct()
+    return (
+        orders.join(discounted, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no orders, per market segment."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q05_SQL = """
+SELECT c_mktsegment, count(*) AS customer_count
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q06_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: rank per partition with unique-key tiebreak (kNN pattern)."""
+    from pyspark.sql.window import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+Q06_SQL = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn
+"""
+
+
+def q07_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: running per-user totals in exact cents (O2 cursor analog)."""
+    from pyspark.sql.window import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("value_cents", F.round(F.col("value") * 100).cast("long"))
+        .withColumn("running_cents", F.sum("value_cents").over(w))
+        .withColumn("seq", F.row_number().over(w))
+        .select("user_id", "event_id", "seq", "running_cents")
+        .orderBy("user_id", "seq")
+    )
+
+
+Q07_SQL = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+       cast(sum(cast(round(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events ORDER BY user_id, seq
+"""
+
+
+def q08_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative flag sum), 30-min gap."""
+    from pyspark.sql.window import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(
+            F.when(F.lag(epoch).over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("session_count"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q08_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id,
+         cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, cast(max(session_id) AS BIGINT) AS session_count, count(*) AS event_count
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q09_bitmask_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 analog on plain ints: parent key + bit_or child-existence mask."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.shiftrightunsigned(F.col("o_orderkey"), 4).alias("parent_key"),
+            F.expr("shiftleft(1, cast(o_orderkey & 15 as int))").alias("mask_bit"),
+        )
+        .groupBy("parent_key")
+        .agg(
+            F.expr("bit_or(mask_bit)").alias("child_mask"),
+            F.count(F.lit(1)).alias("child_rows"),
+        )
+        .orderBy("parent_key")
+    )
+
+
+Q09_SQL = """
+SELECT o_orderkey >> 4 AS parent_key,
+       bit_or(1 << cast(o_orderkey & 15 AS INT)) AS child_mask,
+       count(*) AS child_rows
+FROM orders GROUP BY parent_key ORDER BY parent_key
+"""
+
+
+def q10_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/set-op analog: parts never ordered (EXCEPT)."""
+    part, li = load(spark, sf_dir, "part", "lineitem")
+    return (
+        part.select("p_partkey")
+        .exceptAll(li.select(F.col("l_partkey").alias("p_partkey")).distinct())
+        .orderBy("p_partkey")
+    )
+
+
+Q10_SQL = """
+SELECT p_partkey FROM part
+EXCEPT SELECT DISTINCT l_partkey AS p_partkey FROM lineitem
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Geospatial (exact integer arithmetic so the SQL oracle is bit-exact;
+# the Hilbert-curve variants of these are covered by golden tests and the
+# rows-only engine queries below)
+# ---------------------------------------------------------------------------
+
+# deterministic synthetic dm7 coords from customer keys (pure int math)
+_SYNTH_LON = "((c_custkey * 2654435761) % 3600000000 + 3600000000) % 3600000000 - 1800000000"
+_SYNTH_LAT = "((c_custkey * 2246822519) % 1700000000 + 1700000000) % 1700000000 - 850000000"
+
+
+def _synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = load(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("feature_id"),
+        F.expr(_SYNTH_LON).alias("lon_dm7"),
+        F.expr(_SYNTH_LAT).alias("lat_dm7"),
+    )
+
+
+def q11_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 analog: per-tile feature counts on an exact equirectangular grid
+    (4096x4096 = 'zoom 12'); integer division keeps the oracle bit-exact."""
+    pts = _synth_points(spark, sf_dir)
+    return (
+        pts.withColumn(
+            "tile_x", F.expr("(cast(lon_dm7 as bigint) + 1800000000) * 4096 div 3600000000")
+        )
+        .withColumn(
+            "tile_y", F.expr("(cast(lat_dm7 as bigint) + 850000000) * 4096 div 1700000000")
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("feature_count"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+Q11_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS feature_id,
+         {_SYNTH_LON} AS lon_dm7,
+         {_SYNTH_LAT} AS lat_dm7
+  FROM customer)
+SELECT (lon_dm7 + 1800000000) * 4096 // 3600000000 AS tile_x,
+       (lat_dm7 + 850000000) * 4096 // 1700000000 AS tile_y,
+       count(*) AS feature_count
+FROM pts GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+"""
+
+
+def q12_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW-J10: k-nearest-neighbors (k=3) for 5 query points, exact integer
+    squared distance in dm4 space, rank ties broken by neighbor id."""
+    from pyspark.sql.window import Window
+
+    pts = _synth_points(spark, sf_dir).select(
+        "feature_id",
+        F.expr("(lon_dm7 + 1800000000) div 1000").alias("x"),
+        F.expr("(lat_dm7 + 850000000) div 1000").alias("y"),
+    )
+    queries = pts.where(F.col("feature_id") <= 5).select(
+        F.col("feature_id").alias("query_id"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    cand = F.broadcast(queries).join(pts, F.col("feature_id") != F.col("query_id"))
+    d2 = (F.col("x") - F.col("qx")) ** 2 + (F.col("y") - F.col("qy")) ** 2
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("feature_id"))
+    return (
+        cand.withColumn("d2", d2.cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", F.col("feature_id").alias("neighbor_id"), "rank", "d2")
+        .orderBy("query_id", "rank")
+    )
+
+
+Q12_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS feature_id,
+         (({_SYNTH_LON}) + 1800000000) // 1000 AS x,
+         (({_SYNTH_LAT}) + 850000000) // 1000 AS y
+  FROM customer),
+queries AS (
+  SELECT feature_id AS query_id, x AS qx, y AS qy FROM pts WHERE feature_id <= 5),
+cand AS (
+  SELECT q.query_id, p.feature_id AS neighbor_id,
+         (p.x - q.qx)*(p.x - q.qx) + (p.y - q.qy)*(p.y - q.qy) AS d2
+  FROM queries q JOIN pts p ON p.feature_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM cand)
+SELECT query_id, neighbor_id, rank, d2 FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+def q13_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW-J9: point-in-polygon join vs broadcast admin rectangles derived
+    from nation keys (exact integer containment; the general ray-cast
+    path is exercised in tests/test_geo_joins.py)."""
+    pts = _synth_points(spark, sf_dir)
+    (nation,) = load(spark, sf_dir, "nation")
+    rects = nation.select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_nationkey").cast("long") % 5 * 720000000 - 1800000000).alias("west"),
+        (F.col("n_nationkey").cast("long") % 5 * 720000000 - 1440000000).alias("east"),
+        (F.col("n_nationkey").cast("long") / 5).cast("long").alias("_row"),
+    ).select(
+        "n_nationkey",
+        "n_name",
+        "west",
+        "east",
+        (F.col("_row") * 340000000 - 850000000).alias("south"),
+        (F.col("_row") * 340000000 - 510000000).alias("north"),
+    )
+    joined = pts.join(
+        F.broadcast(rects),
+        (F.col("lon_dm7") >= F.col("west"))
+        & (F.col("lon_dm7") < F.col("east"))
+        & (F.col("lat_dm7") >= F.col("south"))
+        & (F.col("lat_dm7") < F.col("north")),
+    )
+    return (
+        joined.groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("point_count"))
+        .orderBy("n_nationkey")
+    )
+
+
+Q13_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS feature_id,
+         {_SYNTH_LON} AS lon_dm7,
+         {_SYNTH_LAT} AS lat_dm7
+  FROM customer),
+rects AS (
+  SELECT n_nationkey, n_name,
+         (n_nationkey::BIGINT % 5) * 720000000 - 1800000000 AS west,
+         (n_nationkey::BIGINT % 5) * 720000000 - 1440000000 AS east,
+         (n_nationkey::BIGINT // 5) * 340000000 - 850000000 AS south,
+         (n_nationkey::BIGINT // 5) * 340000000 - 510000000 AS north
+  FROM nation)
+SELECT n_nationkey, n_name, count(*) AS point_count
+FROM pts JOIN rects
+  ON lon_dm7 >= west AND lon_dm7 < east AND lat_dm7 >= south AND lat_dm7 < north
+GROUP BY n_nationkey, n_name ORDER BY n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops over `documents` (dedup / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q14_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: duplicate clusters."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keeper_id"))
+        .where(F.col("dup_count") > 1)
+        .orderBy("text_hash")
+    )
+
+
+Q14_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keeper_id
+FROM documents GROUP BY text_hash HAVING count(*) > 1 ORDER BY text_hash
+"""
+
+
+def q15_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace), per-doc exact integer stats."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.expr(
+            "aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))"
+        ).alias("sum_token_len"),
+    ).orderBy("doc_id")
+
+
+Q15_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       cast(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def q16_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword + unique-token ratios in exact milli units."""
+    (docs,) = load(spark, sf_dir, "documents")
+    stop = "('the','a','of','to','and','in')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"""
+          size(filter(split(text,' '), t -> t IN {stop})) * 1000
+            div size(split(text,' '))""").alias("stopword_milli"),
+        F.expr("""
+          size(array_distinct(split(text,' '))) * 1000
+            div size(split(text,' '))""").alias("unique_milli"),
+    ).orderBy("doc_id")
+
+
+Q16_SQL = f"""
+SELECT doc_id,
+       len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','to','and','in'))) * 1000
+         // len(string_split(text,' ')) AS stopword_milli,
+       len(list_distinct(string_split(text,' '))) * 1000
+         // len(string_split(text,' ')) AS unique_milli
+FROM documents ORDER BY doc_id
+"""
+
+
+def q17_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-family vote (en/de/fr), ties -> und."""
+    (docs,) = load(spark, sf_dir, "documents")
+    en = "size(filter(split(text,' '), t -> t IN ('the','a','and','of')))"
+    de = "size(filter(split(text,' '), t -> t IN ('der','die','das','und')))"
+    fr = "size(filter(split(text,' '), t -> t IN ('le','la','et','des')))"
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN {en} > {de} AND {en} > {fr} THEN 'en' "
+            f"WHEN {de} > {en} AND {de} > {fr} THEN 'de' "
+            f"WHEN {fr} > {en} AND {fr} > {de} THEN 'fr' ELSE 'und' END"
+        ).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+_D_EN = "len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of')))"
+_D_DE = "len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und')))"
+_D_FR = "len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','des')))"
+Q17_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_D_EN} > {_D_DE} AND {_D_EN} > {_D_FR} THEN 'en'
+            WHEN {_D_DE} > {_D_EN} AND {_D_DE} > {_D_FR} THEN 'de'
+            WHEN {_D_FR} > {_D_EN} AND {_D_FR} > {_D_DE} THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM documents ORDER BY doc_id
+"""
+
+
+def q18_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    ).orderBy("doc_id")
+
+
+Q18_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def _shingles_expr_spark() -> str:
+    # word 3-gram shingles, distinct
+    return (
+        "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)), "
+        "i -> concat_ws(' ', element_at(split(text,' '), i), "
+        "element_at(split(text,' '), i+1), element_at(split(text,' '), i+2))))"
+    )
+
+
+_SHINGLES_DUCK = (
+    "list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ') "
+    "for i in range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1)])"
+)
+
+
+def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.5, exact milli units."""
+    (docs,) = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_shingles_expr_spark())).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn("jaccard_milli", F.expr("inter * 1000 div (na + nb - inter)"))
+        .where(F.col("jaccard_milli") >= 500)
+        .select("doc_a", "doc_b", "inter", "jaccard_milli")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+Q19_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, inter,
+       inter * 1000 // (na + nb - inter) AS jaccard_milli
+FROM pairs
+JOIN (SELECT doc_id AS doc_a, n_shingles AS na FROM sizes) USING (doc_a)
+JOIN (SELECT doc_id AS doc_b, n_shingles AS nb FROM sizes) USING (doc_b)
+WHERE inter * 1000 // (na + nb - inter) >= 500
+ORDER BY doc_a, doc_b
+"""
+
+
+def q20_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms) over word-3-gram shingles.
+
+    Shingle -> 56-bit int via md5 prefix (identical hex parse in both
+    engines); perm_i(x) = (a_i*x + b_i) mod p with small a_i so the
+    product stays in int64.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(F.expr(_shingles_expr_spark())).alias("shingle"))
+    x = "cast(conv(substring(md5(shingle), 1, 14), 16, 10) as bigint)"
+    p = 1_152_921_504_606_846_989  # prime < 2^60
+    aggs = [
+        F.min(F.expr(f"(({a} * {x}) % {p} + {a * 7919}) % {p}")).alias(f"mh{a}")
+        for a in range(1, 9)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+_DX = "('0x' || substring(md5(shingle), 1, 14))::BIGINT"
+Q20_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents)
+SELECT doc_id,
+  {', '.join(f'min((({a} * {_DX}) % 1152921504606846989 + {a * 7919}) % 1152921504606846989) AS mh{a}' for a in range(1, 9))}
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q21_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding: 4 bands x 2 rows -> bucket ids; candidate pairs
+    are docs sharing a (band, bucket)."""
+    mh = q20_minhash(spark, sf_dir)
+    bands = []
+    for b in range(4):
+        bands.append(
+            mh.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", f"mh{2*b+1}", f"mh{2*b+2}")).alias("bucket"),
+            )
+        )
+    from functools import reduce
+
+    allb = reduce(DataFrame.unionByName, bands)
+    return (
+        allb.alias("x")
+        .join(
+            allb.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q21_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+mh AS (
+  SELECT doc_id,
+    {', '.join(f'min((({a} * {_DX}) % 1152921504606846989 + {a * 7919}) % 1152921504606846989) AS mh{a}' for a in range(1, 9))}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh1::VARCHAR || '_' || mh2::VARCHAR) AS bucket FROM mh
+  UNION ALL SELECT doc_id, 1, md5(mh3::VARCHAR || '_' || mh4::VARCHAR) FROM mh
+  UNION ALL SELECT doc_id, 2, md5(mh5::VARCHAR || '_' || mh6::VARCHAR) FROM mh
+  UNION ALL SELECT doc_id, 3, md5(mh7::VARCHAR || '_' || mh8::VARCHAR) FROM mh)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over tokens (sign of per-bit +-1 vote)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    h = "cast(conv(substring(md5(tok), 1, 14), 16, 10) as bigint)"
+    votes = [
+        F.sum(F.expr(f"CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"v{j}")
+        for j in range(16)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    sig = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return voted.select("doc_id", F.expr(sig).cast("long").alias("simhash")).orderBy("doc_id")
+
+
+_DH = "('0x' || substring(md5(tok), 1, 14))::BIGINT"
+Q22_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+voted AS (
+  SELECT doc_id,
+    {', '.join(f'sum(CASE WHEN ({_DH} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}' for j in range(16))}
+  FROM toks GROUP BY doc_id)
+SELECT doc_id,
+  cast({' + '.join(f'(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)' for j in range(16))} AS BIGINT) AS simhash
+FROM voted ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings` (exact integer quantization)
+# ---------------------------------------------------------------------------
+
+
+def q23_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k by dot product in exact quantized integer space
+    (query = vec_id 0); ties broken by vec_id."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = "transform(embedding, e -> cast(round(e * 10000) as bigint))"
+    quant = emb.select("vec_id", F.expr(q).alias("qv"))
+    query = quant.where(F.col("vec_id") == 0).select(F.col("qv").alias("query_v"))
+    dot = "aggregate(zip_with(qv, query_v, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    return (
+        quant.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", F.expr(dot).alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+Q23_SQL = """
+WITH quant AS (
+  SELECT vec_id, list_transform(embedding, e -> cast(round(e * 10000) AS BIGINT)) AS qv
+  FROM embeddings),
+query AS (SELECT qv AS query_v FROM quant WHERE vec_id = 0)
+SELECT vec_id,
+       cast(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * query_v[i])) AS BIGINT) AS dot
+FROM quant, query WHERE vec_id != 0
+ORDER BY dot DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q24_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse assignment: nearest of 4 deterministic centroids
+    (rows 0..3) per vector, exact integer squared L2."""
+    from pyspark.sql.window import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = "transform(embedding, e -> cast(round(e * 10000) as bigint))"
+    quant = emb.select("vec_id", F.expr(q).alias("qv"))
+    cents = quant.where(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    d2 = "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    return (
+        quant.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", F.expr(d2).alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "d2")
+        .orderBy("vec_id")
+    )
+
+
+Q24_SQL = """
+WITH quant AS (
+  SELECT vec_id, list_transform(embedding, e -> cast(round(e * 10000) AS BIGINT)) AS qv
+  FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM quant WHERE vec_id <= 3),
+dists AS (
+  SELECT q.vec_id, c.centroid_id,
+         cast(list_sum(list_transform(range(1, len(q.qv) + 1),
+                  i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+  FROM quant q, cents c),
+ranked AS (
+  SELECT vec_id, centroid_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+  FROM dists)
+SELECT vec_id, centroid_id, d2 FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Engine-specific Hilbert queries. q25's oracle is pure golden constants
+# (the reference's own asserted values); the rest are rows-only checks
+# (Hilbert order-32 is not SQL-expressible) pinned by tests/ goldens.
+# ---------------------------------------------------------------------------
+
+
+def q25_hilbert_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel parity: compute h for reference-asserted coordinates via the
+    engine's pandas-UDF path (reference src/location.rs:237-284)."""
+    from .functions.geo import hilbert_h
+
+    pts = spark.createDataFrame(
+        [
+            ("cavallero", -1220279745, 370491457),
+            ("null_island", 0, 0),
+            ("origin_nw", -1800000000, 900000000),
+            ("bering_se", 1800000000, 900000000),
+        ],
+        "name string, lon_dm7 int, lat_dm7 int",
+    )
+    return pts.select(
+        "name", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7")).alias("h_signed")
+    ).orderBy("name")
+
+
+# signed h = u64 h - 2^63 (order-preserving bias, see pvt_spark.hilbert)
+Q25_SQL = """
+SELECT * FROM (VALUES
+  ('bering_se',   9223372036854775807),
+  ('cavallero',  -5562949934391489994),
+  ('null_island', 0),
+  ('origin_nw',  -9223372036854775808)
+) AS t(name, h_signed) ORDER BY name
+"""
+
+
+def q26_hilbert_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 on the real Hilbert key over customer-derived points (rows-only:
+    tile ids require the order-32 kernel)."""
+    from .functions.geo import hilbert_h
+    from .operators.leaves import build_leaves
+
+    pts = _synth_points(spark, sf_dir).withColumn(
+        "h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7"))
+    )
+    return build_leaves(pts, leaf_zoom=12).orderBy("leaf_h")
+
+
+def q27_tile_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 full even-zoom tree over the same points (rows-only)."""
+    from .functions.geo import hilbert_h
+    from .operators.leaves import build_leaves
+    from .operators.tree import build_tile_tree
+
+    pts = _synth_points(spark, sf_dir).withColumn(
+        "h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7"))
+    )
+    tree = build_tile_tree(build_leaves(pts, leaf_zoom=12), leaf_zoom=12)
+    return tree.select(
+        "zoom", "tile_h", "child_mask", "n_count", "leaf_count"
+    ).orderBy("zoom", "tile_h")
+
+
+def q28_tile_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full compose path over supplier-derived tagged points (rows-only):
+    rule filter -> pyramid -> salted assembly -> payload stats."""
+    from .functions.geo import grid_x, grid_y, hilbert_h
+    from .manifest import DEFAULT_MANIFEST, compile_rules
+    from .operators.compose import compose_tiles
+    from .operators.content import render_content
+    from .operators.rules import include_tags
+
+    (supp,) = load(spark, sf_dir, "supplier")
+    kinds = ["place", "amenity", "highway", "building", "shop", "natural", "power"]
+    vals = ["city", "bus_station", "primary", "yes", "supermarket", "tree", "pole"]
+    kv = F.element_at(
+        F.array(*[F.lit(k) for k in kinds]), (F.col("s_suppkey") % 7 + 1).cast("int")
+    )
+    vv = F.element_at(
+        F.array(*[F.lit(v) for v in vals]), (F.col("s_suppkey") % 7 + 1).cast("int")
+    )
+    pts = supp.select(
+        F.col("s_suppkey").alias("feature_id"),
+        F.expr(_SYNTH_LON.replace("c_custkey", "s_suppkey")).alias("lon_dm7"),
+        F.expr(_SYNTH_LAT.replace("c_custkey", "s_suppkey")).alias("lat_dm7"),
+        F.map_from_arrays(F.array(kv), F.array(vv)).alias("tags"),
+    ).withColumn("h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7")))
+    compiled = compile_rules(DEFAULT_MANIFEST)
+    content = render_content(pts, DEFAULT_MANIFEST, compiled)
+    feats = content.join(pts.select("feature_id", "tags", "lon_dm7", "lat_dm7"), "feature_id")
+    feats = feats.withColumn("gx", grid_x(F.col("lon_dm7"))).withColumn(
+        "gy", grid_y(F.col("lat_dm7"))
+    )
+    evals_df = spark.createDataFrame(
+        [(i, e[4], e[5]) for i, e in enumerate(compiled.evals)],
+        "eval_i int, include_kind string, include_keys array<string>",
+    )
+    feats = include_tags(feats.join(F.broadcast(evals_df), "eval_i", "left"))
+    rf = feats.select(
+        "zoom",
+        "tile_h",
+        "feature_id",
+        "h",
+        F.explode("layers").alias("layer"),
+        "out_tags",
+        F.array("gx").alias("geom_x"),
+        F.array("gy").alias("geom_y"),
+    )
+    tiles = compose_tiles(rf, ["no_rule"] + DEFAULT_MANIFEST.layer_order, 1000)
+    return tiles.select(
+        "zoom", "tile_h", "layer_count", "feature_count", "payload_size"
+    ).orderBy("zoom", "tile_h")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
+    "q03_nation_volume": (q03_nation_volume, Q03_SQL),
+    "q04_semi_join": (q04_semi_join, Q04_SQL),
+    "q05_anti_join": (q05_anti_join, Q05_SQL),
+    "q06_window_topn": (q06_window_topn, Q06_SQL),
+    "q07_running_sum": (q07_running_sum, Q07_SQL),
+    "q08_sessionize": (q08_sessionize, Q08_SQL),
+    "q09_bitmask_tree": (q09_bitmask_tree, Q09_SQL),
+    "q10_set_except": (q10_set_except, Q10_SQL),
+    "q11_tile_counts": (q11_tile_counts, Q11_SQL),
+    "q12_knn": (q12_knn, Q12_SQL),
+    "q13_pip": (q13_pip, Q13_SQL),
+    "q14_exact_dedup": (q14_exact_dedup, Q14_SQL),
+    "q15_token_stats": (q15_token_stats, Q15_SQL),
+    "q16_quality": (q16_quality, Q16_SQL),
+    "q17_langid": (q17_langid, Q17_SQL),
+    "q18_fingerprint": (q18_fingerprint, Q18_SQL),
+    "q19_ngram_jaccard": (q19_ngram_jaccard, Q19_SQL),
+    "q20_minhash": (q20_minhash, Q20_SQL),
+    "q21_lsh_bands": (q21_lsh_bands, Q21_SQL),
+    "q22_simhash": (q22_simhash, Q22_SQL),
+    "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
+    "q24_centroid_assign": (q24_centroid_assign, Q24_SQL),
+    "q25_hilbert_goldens": (q25_hilbert_goldens, Q25_SQL),
+    "q26_hilbert_leaves": (q26_hilbert_leaves, None),
+    "q27_tile_tree": (q27_tile_tree, None),
+    "q28_tile_compose": (q28_tile_compose, None),
+}
+
+
+def compare_against_oracle(spark: SparkSession, sf_dir: str, names=None) -> dict:
+    """Local harness mirroring the driver's DuckDB check: row count +
+    sorted-column value frame equality."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    results = {}
+    for name, (fn, sql) in REGISTRY.items():
+        if names and name not in names:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+            if sql is None:
+                results[name] = {"rows": len(got), "oracle": "rows-only"}
+                continue
+            want = con.execute(sql).df()
+            got_s = got[sorted(got.columns)].reset_index(drop=True)
+            want_s = want[sorted(want.columns)].reset_index(drop=True)
+            for c in got_s.columns:
+                got_s[c] = got_s[c].astype(str)
+                want_s[c] = want_s[c].astype(str)
+            got_s = got_s.sort_values(list(got_s.columns)).reset_index(drop=True)
+            want_s = want_s.sort_values(list(want_s.columns)).reset_index(drop=True)
+            match = got_s.equals(want_s)
+            results[name] = {
+                "rows": len(got),
+                "oracle_rows": len(want),
+                "match": bool(match),
+            }
+            if not match:
+                merged = pd.concat([got_s.head(3), want_s.head(3)], keys=["spark", "duck"])
+                results[name]["sample"] = merged.to_string()[:800]
+        except Exception as e:  # pragma: no cover
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
+    return results

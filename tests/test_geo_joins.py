@@ -1,0 +1,159 @@
+"""PIP join, kNN, external membership, way/relation h assignment."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pvt_spark import hilbert as hb
+from pvt_spark.functions.geo import hilbert_h
+from pvt_spark.operators.external import (
+    candidates_with_external,
+    external_members,
+)
+from pvt_spark.operators.feature_h import assign_relation_h, assign_way_h
+from pvt_spark.operators.knn import knn_per_tile
+from pvt_spark.operators.pip import point_in_polygon_join
+from pvt_spark.sources.fixtures import admin_polygons, minicruz
+
+
+def _points(spark, coords):
+    rows = []
+    for i, (lon, lat) in enumerate(coords):
+        h = int(hb.lonlat_to_signed_h(np.array([lon]), np.array([lat]))[0])
+        rows.append((i, lon, lat, h))
+    return spark.createDataFrame(rows, "feature_id long, lon_dm7 int, lat_dm7 int, h long")
+
+
+def test_pip_rectangles_exact_membership(spark):
+    polys = admin_polygons(spark, grid=2)  # 4 rectangles over SC bbox
+    # one point strictly inside each quadrant + one far outside
+    pts = _points(
+        spark,
+        [
+            (-1221000000, 369000000),  # SW quadrant (admin_0_0)
+            (-1221000000, 370800000),  # NW (admin_0_1)
+            (-1219000000, 369000000),  # SE (admin_1_0)
+            (-1219000000, 370800000),  # NE (admin_1_1)
+            (0, 0),  # nowhere
+        ],
+    )
+    out = point_in_polygon_join(pts, polys, cover_zoom=6)
+    got = {(r.feature_id, r.name) for r in out.collect()}
+    assert got == {
+        (0, "admin_0_0"),
+        (1, "admin_0_1"),
+        (2, "admin_1_0"),
+        (3, "admin_1_1"),
+    }
+
+
+def test_pip_polygon_with_hole(spark):
+    # square with a square hole; point in hole must NOT match
+    ring_o = [(0, 0), (10000000, 0), (10000000, 10000000), (0, 10000000), (0, 0)]
+    ring_h = [(4000000, 4000000), (6000000, 4000000), (6000000, 6000000), (4000000, 6000000), (4000000, 4000000)]
+    polys = spark.createDataFrame(
+        [(1, 4, "donut", [ring_o, ring_h])],
+        "admin_id long, admin_level int, name string, "
+        "rings array<array<struct<lon_dm7:int, lat_dm7:int>>>",
+    )
+    pts = _points(spark, [(2000000, 2000000), (5000000, 5000000), (20000000, 5000000)])
+    out = point_in_polygon_join(pts, polys, cover_zoom=6)
+    got = {r.feature_id for r in out.collect()}
+    assert got == {0}
+
+
+def test_knn_exact(spark):
+    base = [(-1220280000 + i * 10000, 370490000) for i in range(10)]
+    pts = _points(spark, base)
+    queries = (
+        _points(spark, [(-1220280000, 370490000)])
+        .select(F.col("feature_id").alias("query_id"), "lon_dm7", "lat_dm7", "h")
+    )
+    out = knn_per_tile(pts, queries, k=3, zoom=12)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    # nearest is the point itself (id 0), then ids 1, 2 (increasing lon)
+    assert [r.neighbor_id for r in rows] == [0, 1, 2]
+    assert rows[0].d2 == 0.0
+
+
+def test_external_members(spark):
+    pts, ways, rels = minicruz(spark, n_points=2000, n_ways=100, n_relations=10)
+    ways_h = assign_way_h(ways, pts)
+    ext = external_members(ways_h, pts, leaf_zoom=12)
+    # invariant: a way never appears in its own home leaf's external list
+    from pvt_spark.functions.geo import zoom_h
+
+    home = ways_h.select(
+        F.col("feature_id").alias("fid"), zoom_h(F.col("h"), 12).alias("home_leaf")
+    )
+    bad = (
+        ext.select("leaf_h", F.explode("external").alias("fid"))
+        .join(home, "fid")
+        .where(F.col("leaf_h") == F.col("home_leaf"))
+        .count()
+    )
+    assert bad == 0
+    # external lists are sorted ascending (BTreeSet semantics)
+    for r in ext.collect():
+        assert list(r.external) == sorted(r.external)
+
+    # candidates union dedups
+    inner = ways_h.select(zoom_h(F.col("h"), 12).alias("leaf_h"), "feature_id")
+    cand = candidates_with_external(inner, ext)
+    assert cand.count() == cand.dropDuplicates(["leaf_h", "feature_id"]).count()
+
+
+def test_way_h_fallback_ladder(spark):
+    pts = _points(spark, [(0, 0), (1000000, 0), (1000000, 1000000), (0, 1000000)])
+    # way with < 4 refs -> first ref's h
+    ways = spark.createDataFrame(
+        [
+            (100, [0, 1]),
+            (101, [0, 1, 2, 3, 0]),  # closed ring -> interior point
+        ],
+        "feature_id long, refs array<long>",
+    )
+    out = {r.feature_id: r.h for r in assign_way_h(ways, pts).collect()}
+    first_h = pts.where(F.col("feature_id") == 0).first().h
+    assert out[100] == first_h
+    # ring interior point must be inside the ring bbox
+    lon, lat = hb.h_to_lonlat(hb.signed_to_h(np.array([out[101]])))
+    assert 0 <= lon[0] <= 1000000 and 0 <= lat[0] <= 1000000
+
+
+def test_relation_h_mean_and_nesting(spark):
+    pts = _points(spark, [(0, 0), (20000000, 0)])
+    ways = spark.createDataFrame([], "feature_id long, refs array<long>, h long")
+    rels = spark.createDataFrame(
+        [
+            (200, [("n", 0), ("n", 1)]),
+            (201, [("r", 200), ("n", 0)]),  # nested: needs 2nd iteration
+        ],
+        "feature_id long, members array<struct<etype:string, ref:long>>",
+    )
+    out = {r.feature_id: r.h for r in assign_relation_h(rels, pts, ways).collect()}
+    h0 = int(pts.where("feature_id = 0").first().h)
+    h1 = int(pts.where("feature_id = 1").first().h)
+    u0, u1 = int(hb.signed_to_h(np.array([h0]))[0]), int(hb.signed_to_h(np.array([h1]))[0])
+    expect_200 = int(hb.h_to_signed(np.array([(u0 + u1) // 2], dtype=np.uint64))[0])
+    assert out[200] == expect_200
+    u200 = (u0 + u1) // 2
+    expect_201 = int(hb.h_to_signed(np.array([(u200 + u0) // 2], dtype=np.uint64))[0])
+    assert out[201] == expect_201
+
+
+def test_cells_hierarchy():
+    from pvt_spark.functions.cells import hexish_cell, s2ish_cell, s2ish_parent
+
+    rng = np.random.RandomState(3)
+    lon = rng.randint(-1800000000, 1800000000, 500)
+    lat = rng.randint(-850000000, 850000000, 500)
+    c12 = s2ish_cell(lon, lat, 12)
+    c8 = s2ish_cell(lon, lat, 8)
+    assert np.array_equal(s2ish_parent(c12, 12, 8), c8)
+    # nearby points share cells, far points don't (locality smoke)
+    a = s2ish_cell(np.array([100000]), np.array([100000]), 10)
+    b = s2ish_cell(np.array([100001]), np.array([100001]), 10)
+    far = s2ish_cell(np.array([900000000]), np.array([100000]), 10)
+    assert a[0] == b[0] != far[0]
+    hx = hexish_cell(lon, lat, 8)
+    assert len(np.unique(hx)) > 100
