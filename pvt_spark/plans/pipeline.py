@@ -42,6 +42,22 @@ from ..operators.tree import build_tile_tree
 PIPELINE_VERSION = 1
 
 
+def _parquet_file_counts(path: str) -> dict[str, int]:
+    """Row count per parquet file from footers only (fast, driver-side)."""
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                fp = os.path.join(root, fn)
+                try:
+                    counts[os.path.relpath(fp, path)] = pq.ParquetFile(fp).metadata.num_rows
+                except Exception:
+                    pass
+    return counts
+
+
 @dataclass
 class BuildConfig:
     leaf_zoom: int = 12
@@ -99,16 +115,15 @@ class Stage:
         else:
             writer(df, self.path)
         out = spark.read.parquet(self.path)
-        # per-partition lineage: row count per file partition of the snapshot
-        part_counts = (
-            out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-        )
+        # per-partition lineage from parquet footers (driver-side metadata
+        # read, no extra Spark job — the Iceberg-manifest analog)
+        part_counts = _parquet_file_counts(self.path)
         lineage = {
             "stage": self.name,
             "fingerprint": self.fingerprint,
             "inputs": inputs or [],
-            "row_count": int(sum(r["count"] for r in part_counts)),
-            "partitions": {str(r["pid"]): int(r["count"]) for r in part_counts},
+            "row_count": int(sum(part_counts.values())),
+            "partitions": part_counts,
             "wall_sec": round(time.time() - t0, 3),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }

@@ -147,7 +147,8 @@ def synthesize_pages(
 ) -> DataFrame:
     """Distributed deterministic pages table. Safe at any scale: generation
     is per-row hash-driven, so it parallelizes with no coordination."""
-    partitions = partitions or max(8, n_pages // 50_000)
+    default_par = spark.sparkContext.defaultParallelism
+    partitions = partitions or max(default_par * 2, n_pages // 50_000)
     base = spark.range(0, n_pages, 1, partitions)
 
     def gen(batches):
