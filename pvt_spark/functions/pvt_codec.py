@@ -1,22 +1,25 @@
-"""PVT-equivalent tile payload codec (deterministic binary).
+"""PVT-equivalent tile payload codec (deterministic columnar binary).
 
 Mirrors the reference's flatbuffer tile model
 (schema/planet_vector_tile.fbs:1-50): a tile is layers -> features ->
 geometries, with per-tile interned string/value tables
 (src/tile_attributes.rs:14-80). The byte layout here is our own (the
 reference's exact flatbuffer bytes are NOT part of the parity
-invariant — tile ids, feature assignments and counts are); what
-matters is that encoding is deterministic and self-describing.
+invariant — tile ids, feature assignments and counts are).
 
-Layout (little-endian):
-  u32 magic 'PVTS', u16 version, u8 zoom, pad, u64 tile_h
-  u32 n_strings; per string: u32 len + utf8 bytes
+v2 layout is COLUMNAR so encode/decode are a handful of numpy
+``tobytes``/``frombuffer`` calls (the per-feature loop of v1 dominated
+tile assembly):
+
+  u32 magic 'PVTS', u16 version=2, u8 zoom, pad, u64 tile_h
+  u32 n_strings; per string: u32 len + utf8 bytes  (first-seen order)
   u16 n_layers; per layer:
-    u32 name_idx, u32 n_features; per feature:
-      u64 id, u16 n_tags, n_tags x (u32 key_idx, u32 val_idx),
-      u16 n_geoms; per geom: u32 n_points, n_points x (i16 x, i16 y)
-
-Encode/decode are numpy-vectorized per array block.
+    u32 name_idx, u32 n_features
+    i64[n_features]      feature ids
+    u16[n_features]      n_tags
+    u32[2*sum(n_tags)]   key/value string indexes, interleaved
+    u32[n_features]      geom point counts (single geometry per feature)
+    i16[2*sum(counts)]   x/y interleaved tile-local points
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ import struct
 import numpy as np
 
 MAGIC = b"PVTS"
-VERSION = 1
+VERSION = 2
 
 
 class TileAttributes:
@@ -48,33 +51,30 @@ class TileAttributes:
         return np.fromiter((self.upsert(s) for s in arr), dtype=np.uint32, count=len(arr))
 
 
-def encode_tile(zoom: int, tile_h: int, layers: list[dict]) -> bytes:
-    """layers: [{name, features: [{id, keys:[str], values:[str],
-    geoms: [(x_i16_array, y_i16_array), ...]}]}] -> payload bytes."""
+def encode_tile_arrays(zoom: int, tile_h: int, layers: list[dict]) -> bytes:
+    """Array-form encoder (the fast path used by tile assembly).
+
+    layers: [{name: str, ids: i64[n], n_tags: int[n], kv: object[2*sum]
+    (interleaved key/value strings), geom_lens: int[n],
+    pts: i16[2*sum(geom_lens)] (interleaved x/y)}]
+    """
     attrs = TileAttributes()
-    parts = [MAGIC, struct.pack("<HBxQ", VERSION, zoom, tile_h)]
-    body: list[bytes] = []
-    body.append(struct.pack("<H", len(layers)))
+    body: list[bytes] = [struct.pack("<H", len(layers))]
     for layer in layers:
         name_idx = attrs.upsert(layer["name"])
-        feats = layer["features"]
-        body.append(struct.pack("<II", name_idx, len(feats)))
-        for f in feats:
-            kidx = attrs.upsert_many(f.get("keys", []))
-            vidx = attrs.upsert_many(f.get("values", []))
-            geoms = f.get("geoms", [])
-            body.append(struct.pack("<QH", f["id"] & 0xFFFFFFFFFFFFFFFF, len(kidx)))
-            kv = np.empty(2 * len(kidx), dtype=np.uint32)
-            kv[0::2] = kidx
-            kv[1::2] = vidx
-            body.append(kv.tobytes())
-            body.append(struct.pack("<H", len(geoms)))
-            for gx, gy in geoms:
-                pts = np.empty(2 * len(gx), dtype=np.int16)
-                pts[0::2] = gx
-                pts[1::2] = gy
-                body.append(struct.pack("<I", len(gx)))
-                body.append(pts.tobytes())
+        ids = np.ascontiguousarray(layer["ids"], dtype=np.int64)
+        n_tags = np.ascontiguousarray(layer["n_tags"], dtype=np.uint16)
+        kv_strings = layer["kv"]
+        kv_idx = attrs.upsert_many(kv_strings)
+        geom_lens = np.ascontiguousarray(layer["geom_lens"], dtype=np.uint32)
+        pts = np.ascontiguousarray(layer["pts"], dtype=np.int16)
+        body.append(struct.pack("<II", name_idx, len(ids)))
+        body.append(ids.tobytes())
+        body.append(n_tags.tobytes())
+        body.append(kv_idx.tobytes())
+        body.append(geom_lens.tobytes())
+        body.append(pts.tobytes())
+    parts = [MAGIC, struct.pack("<HBxQ", VERSION, zoom, tile_h)]
     parts.append(struct.pack("<I", len(attrs.strings)))
     for s in attrs.strings:
         b = s.encode("utf-8")
@@ -84,10 +84,49 @@ def encode_tile(zoom: int, tile_h: int, layers: list[dict]) -> bytes:
     return b"".join(parts)
 
 
+def encode_tile(zoom: int, tile_h: int, layers: list[dict]) -> bytes:
+    """Dict-form encoder (tests/fixtures): features as list of dicts with
+    keys/values/geoms like the decoder output."""
+    arr_layers = []
+    for layer in layers:
+        feats = layer["features"]
+        ids = np.array([f["id"] for f in feats], dtype=np.uint64).view(np.int64)
+        n_tags = np.array([len(f.get("keys", [])) for f in feats], dtype=np.int64)
+        kv: list[str] = []
+        for f in feats:
+            for k, v in zip(f.get("keys", []), f.get("values", [])):
+                kv.append(k)
+                kv.append(v)
+        geom_lens = []
+        pts_parts = []
+        for f in feats:
+            geoms = f.get("geoms", [])
+            gx = np.concatenate([np.asarray(g[0], np.int16) for g in geoms]) if geoms else np.empty(0, np.int16)
+            gy = np.concatenate([np.asarray(g[1], np.int16) for g in geoms]) if geoms else np.empty(0, np.int16)
+            geom_lens.append(len(gx))
+            inter = np.empty(2 * len(gx), dtype=np.int16)
+            inter[0::2] = gx
+            inter[1::2] = gy
+            pts_parts.append(inter)
+        pts = np.concatenate(pts_parts) if pts_parts else np.empty(0, np.int16)
+        arr_layers.append(
+            {
+                "name": layer["name"],
+                "ids": ids,
+                "n_tags": n_tags,
+                "kv": kv,
+                "geom_lens": np.array(geom_lens, dtype=np.int64),
+                "pts": pts,
+            }
+        )
+    return encode_tile_arrays(zoom, tile_h, arr_layers)
+
+
 def decode_tile(payload: bytes) -> dict:
     assert payload[:4] == MAGIC
     off = 4
     version, zoom, tile_h = struct.unpack_from("<HBxQ", payload, off)
+    assert version == VERSION
     off += 12
     (n_strings,) = struct.unpack_from("<I", payload, off)
     off += 4
@@ -101,29 +140,32 @@ def decode_tile(payload: bytes) -> dict:
     off += 2
     layers = []
     for _ in range(n_layers):
-        name_idx, n_feats = struct.unpack_from("<II", payload, off)
+        name_idx, n = struct.unpack_from("<II", payload, off)
         off += 8
+        ids = np.frombuffer(payload, np.int64, n, off).view(np.uint64)
+        off += 8 * n
+        n_tags = np.frombuffer(payload, np.uint16, n, off).astype(np.int64)
+        off += 2 * n
+        total_kv = int(n_tags.sum()) * 2
+        kv = np.frombuffer(payload, np.uint32, total_kv, off)
+        off += 4 * total_kv
+        geom_lens = np.frombuffer(payload, np.uint32, n, off).astype(np.int64)
+        off += 4 * n
+        total_pts = int(geom_lens.sum()) * 2
+        pts = np.frombuffer(payload, np.int16, total_pts, off)
+        off += 2 * total_pts
         feats = []
-        for _ in range(n_feats):
-            fid, n_tags = struct.unpack_from("<QH", payload, off)
-            off += 10
-            kv = np.frombuffer(payload, dtype=np.uint32, count=2 * n_tags, offset=off)
-            off += 8 * n_tags
-            (n_geoms,) = struct.unpack_from("<H", payload, off)
-            off += 2
-            geoms = []
-            for _ in range(n_geoms):
-                (n_pts,) = struct.unpack_from("<I", payload, off)
-                off += 4
-                pts = np.frombuffer(payload, dtype=np.int16, count=2 * n_pts, offset=off)
-                off += 4 * n_pts
-                geoms.append((pts[0::2].copy(), pts[1::2].copy()))
+        tag_off = np.concatenate([[0], np.cumsum(n_tags)])
+        geo_off = np.concatenate([[0], np.cumsum(geom_lens)])
+        for i in range(n):
+            kvs = kv[2 * tag_off[i] : 2 * tag_off[i + 1]]
+            p = pts[2 * geo_off[i] : 2 * geo_off[i + 1]]
             feats.append(
                 {
-                    "id": fid,
-                    "keys": [strings[i] for i in kv[0::2]],
-                    "values": [strings[i] for i in kv[1::2]],
-                    "geoms": geoms,
+                    "id": int(ids[i]),
+                    "keys": [strings[j] for j in kvs[0::2]],
+                    "values": [strings[j] for j in kvs[1::2]],
+                    "geoms": [(p[0::2].copy(), p[1::2].copy())] if len(p) else [],
                 }
             )
         layers.append({"name": strings[name_idx], "features": feats})

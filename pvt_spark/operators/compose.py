@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import hilbert as hb
-from ..functions.pvt_codec import encode_tile
+from ..functions.pvt_codec import encode_tile_arrays
 from ..tile import tile_project
 from .simplify import DEFAULT_TOLERANCE, simplify_line
 
@@ -109,24 +109,27 @@ def _project_batch(pdf: pd.DataFrame, tolerance: float):
 
 def _chunk_of(grp: pd.DataFrame, sx, sy, slens) -> bytes:
     idx = grp.index.to_numpy()
-    keys_flat: list[str] = []
-    vals_flat: list[str] = []
+    kv: list[str] = []  # interleaved key,value per tag, feature-contiguous
     n_tags = np.empty(len(idx), dtype=np.int64)
     for j, tags in enumerate(grp["out_tags"]):
         items = sorted(tags.items()) if tags else []
         n_tags[j] = len(items)
-        keys_flat.extend(k for k, _ in items)
-        vals_flat.extend(v for _, v in items)
+        for k, v in items:
+            kv.append(k)
+            kv.append(v)
+    gx = np.concatenate([sx[i] for i in idx]) if len(idx) else np.empty(0, np.int16)
+    gy = np.concatenate([sy[i] for i in idx]) if len(idx) else np.empty(0, np.int16)
+    pts = np.empty(2 * len(gx), dtype=np.int16)  # x,y interleaved
+    pts[0::2] = gx
+    pts[1::2] = gy
     return pickle.dumps(
         {
             "ids": grp["feature_id"].to_numpy(dtype=np.int64),
             "h": grp["h"].to_numpy(dtype=np.int64),
             "n_tags": n_tags,
-            "keys": keys_flat,
-            "vals": vals_flat,
+            "kv": kv,
             "geom_lens": slens[idx],
-            "gx": np.concatenate([sx[i] for i in idx]) if len(idx) else np.empty(0, np.int16),
-            "gy": np.concatenate([sy[i] for i in idx]) if len(idx) else np.empty(0, np.int16),
+            "pts": pts,
         },
         protocol=4,
     )
@@ -158,6 +161,17 @@ def _phase1_stream(batches, tolerance: float):
         )
 
 
+def _gather_varlen(order: np.ndarray, lens: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Indices that reorder a flattened var-length block by `order`."""
+    new_lens = lens[order]
+    total = int(new_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    cum = np.cumsum(new_lens)
+    starts = offsets[order]
+    return np.arange(total) - np.repeat(cum - new_lens, new_lens) + np.repeat(starts, new_lens)
+
+
 def _merge_tile_rows(zoom: int, tile_h: int, grp: pd.DataFrame, layer_order: list[str]):
     layer_rank = {name: i for i, name in enumerate(layer_order)}
     layers_out = []
@@ -171,29 +185,29 @@ def _merge_tile_rows(zoom: int, tile_h: int, grp: pd.DataFrame, layer_order: lis
         hs = np.concatenate([c["h"] for c in chunks])
         n_tags = np.concatenate([c["n_tags"] for c in chunks])
         geom_lens = np.concatenate([c["geom_lens"] for c in chunks])
-        keys_flat = [k for c in chunks for k in c["keys"]]
-        vals_flat = [v for c in chunks for v in c["vals"]]
-        gx = np.concatenate([c["gx"] for c in chunks])
-        gy = np.concatenate([c["gy"] for c in chunks])
+        kv_flat = np.concatenate(
+            [np.asarray(c["kv"], dtype=object) for c in chunks]
+        ) if chunks else np.empty(0, dtype=object)
+        pts_flat = np.concatenate([c["pts"] for c in chunks])
         order = np.lexsort((ids, hs))  # restore global (h, id) feature order
-        tag_off = np.concatenate([[0], np.cumsum(n_tags)])
-        geo_off = np.concatenate([[0], np.cumsum(geom_lens)])
+        tag_off = np.concatenate([[0], np.cumsum(n_tags)])[:-1]
+        geo_off = np.concatenate([[0], np.cumsum(geom_lens)])[:-1]
+        # interleaved blocks: kv has 2 entries/tag, pts 2 entries/point
+        kv_idx = _gather_varlen(order, n_tags * 2, tag_off * 2)
+        pts_idx = _gather_varlen(order, geom_lens * 2, geo_off * 2)
         fids = _feature_tile_id(np.full(len(hs), zoom), hs)
-        features = []
-        for i in order:
-            features.append(
-                {
-                    "id": int(fids[i]) & 0xFFFFFFFFFFFFFFFF,
-                    "keys": keys_flat[tag_off[i] : tag_off[i + 1]],
-                    "values": vals_flat[tag_off[i] : tag_off[i + 1]],
-                    "geoms": [
-                        (gx[geo_off[i] : geo_off[i + 1]], gy[geo_off[i] : geo_off[i + 1]])
-                    ],
-                }
-            )
-        total_features += len(features)
-        layers_out.append({"name": layer, "features": features})
-    payload = encode_tile(zoom, tile_h, layers_out)
+        total_features += len(ids)
+        layers_out.append(
+            {
+                "name": layer,
+                "ids": fids[order],
+                "n_tags": n_tags[order],
+                "kv": kv_flat[kv_idx] if len(kv_idx) else [],
+                "geom_lens": geom_lens[order],
+                "pts": pts_flat[pts_idx] if len(pts_idx) else np.empty(0, np.int16),
+            }
+        )
+    payload = encode_tile_arrays(zoom, tile_h, layers_out)
     tile_id = (
         (zoom << 47) | tile_h
         if tile_h <= 140_737_488_355_327
