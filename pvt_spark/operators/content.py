@@ -31,12 +31,16 @@ def render_content(
     id_col: str = "feature_id",
     tags_col: str = "tags",
     h_col: str = "h",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """features(id, tags, h) -> content(zoom, tile_h, feature_id, eval_i,
-    rule, layers).
+    rule, layers[, carry_cols...]).
 
     Untagged features are dropped entirely (F4, reference
-    src/filter.rs:26-30).
+    src/filter.rs:26-30). ``carry_cols`` denormalizes feature attributes
+    (tags, coordinates) into the content rows so tile assembly needs NO
+    join back to the feature table — the ~8x duplication is cheap under
+    parquet dictionary encoding and saves a full shuffle at scale.
     """
     tags_field = dict(features.dtypes)[tags_col]
     nonempty = (
@@ -54,6 +58,7 @@ def render_content(
         "eval_i",
         "rule",
         "layers",
+        *[F.col(c) for c in (carry_cols or [])],
     ).withColumn("tile_h", tile_h_at_zoom_col("h", "zoom"))
 
 

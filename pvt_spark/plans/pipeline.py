@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..manifest import DEFAULT_MANIFEST, Manifest, compile_rules
-from ..operators.compose import compose_tiles
+from ..operators.compose import compose_tiles_presorted
 from ..operators.content import render_content, tile_manifest, write_content, zoom_metrics
 from ..operators.extract import EXTRACTOR_VERSION, extract_pages
 from ..operators.geotag import geotag
@@ -161,7 +161,14 @@ def build_planet(
     planet_dir: str,
     config: BuildConfig | None = None,
 ) -> dict[str, DataFrame]:
-    """Run (or resume) the full build; returns the stage DataFrames."""
+    """Run (or resume) the full build; returns the stage DataFrames.
+
+    Stage graph is shuffle-minimal: ONE full-data shuffle (the Hilbert
+    range partition, fused with extraction into the points stage); the
+    tree is a 16x-shrinking rollup; content adds one range shuffle of
+    index+attr rows; tile assembly reuses content's clustering (phase 1
+    shuffle-free, phase 2 shuffles only chunk rows).
+    """
     config = config or BuildConfig()
     os.makedirs(planet_dir, exist_ok=True)
     fp = config.fingerprint()
@@ -170,67 +177,51 @@ def build_planet(
     def stage(name: str) -> Stage:
         return Stage(planet_dir, name, fp)
 
-    # 1. extract + geotag + feature ids (one fused stage: no interim shuffle)
-    points = stage("points").run(
+    # 1. extract + geotag + feature ids + global Hilbert sort (O1) —
+    #    one stage, one shuffle, written in h order
+    points_sorted = stage("points_sorted").run(
         spark,
-        lambda: _featureize(geotag(extract_pages(pages)), config.tags_from_url),
+        lambda: hilbert_sort(
+            _featureize(geotag(extract_pages(pages)), config.tags_from_url),
+            num_partitions=config.sort_partitions,
+        ),
         inputs=["pages"],
     )
 
-    # 2. global Hilbert sort (O1) — the one full shuffle
-    points_sorted = stage("points_sorted").run(
-        spark,
-        lambda: hilbert_sort(points, num_partitions=config.sort_partitions),
-        writer=lambda df, p: df.write.mode("overwrite").parquet(p),
-        inputs=["points"],
-    )
-
-    # 3. leaves (A3) + tile tree (A4)
-    leaves = stage("leaves").run(
-        spark, lambda: build_leaves(points_sorted, config.leaf_zoom), inputs=["points_sorted"]
-    )
+    # 2. tile tree (A3 leaves + A4 rollup in one stage; the leaf level IS
+    #    the zoom==leaf_zoom slice of the tree)
     tree = stage("tile_tree").run(
-        spark, lambda: build_tile_tree(leaves, config.leaf_zoom), inputs=["leaves"]
-    )
-
-    # 4. rule-filtered pyramid content (F1-F4 + A5)
-    content = stage("content").run(
         spark,
-        lambda: render_content(points_sorted, config.manifest, compiled),
-        writer=write_content,
+        lambda: build_tile_tree(
+            build_leaves(points_sorted, config.leaf_zoom), config.leaf_zoom
+        ),
         inputs=["points_sorted"],
     )
 
-    # 5. tile payload assembly (A6/P7/DP, salted)
-    def _compose() -> DataFrame:
-        feats = content.join(
-            points_sorted.select(
-                "feature_id",
-                "tags",
-                F.col("lon_dm7"),
-                F.col("lat_dm7"),
-            ),
-            "feature_id",
-        )
-        from ..functions.geo import grid_x, grid_y
+    # 3. rule-filtered pyramid content (F1-F4 + A5), attrs denormalized so
+    #    tile assembly needs no join; written clustered by (zoom, tile_h)
+    from ..functions.geo import grid_x, grid_y
 
-        feats = feats.withColumn("gx", grid_x(F.col("lon_dm7"))).withColumn(
+    def _content() -> DataFrame:
+        pts = points_sorted.withColumn("gx", grid_x(F.col("lon_dm7"))).withColumn(
             "gy", grid_y(F.col("lat_dm7"))
         )
+        return render_content(
+            pts, config.manifest, compiled, carry_cols=["tags", "gx", "gy"]
+        )
+
+    content = stage("content").run(
+        spark, _content, writer=write_content, inputs=["points_sorted"]
+    )
+
+    # 4. tile payload assembly (A6/P7/DP) on the pre-clustered content
+    def _compose() -> DataFrame:
+        evals_df = spark.createDataFrame(
+            [(i, e[4], e[5]) for i, e in enumerate(compiled.evals)],
+            "eval_i int, include_kind string, include_keys array<string>",
+        )
         feats = include_tags(
-            feats.join(
-                F.broadcast(
-                    spark.createDataFrame(
-                        [
-                            (i, e[4], e[5])
-                            for i, e in enumerate(compiled.evals)
-                        ],
-                        "eval_i int, include_kind string, include_keys array<string>",
-                    )
-                ),
-                "eval_i",
-                "left",
-            ),
+            content.join(F.broadcast(evals_df), "eval_i", "left"),
             all_tags=config.manifest.all_tags,
         )
         rf = feats.select(
@@ -243,22 +234,16 @@ def build_planet(
             F.array("gx").alias("geom_x"),
             F.array("gy").alias("geom_y"),
         )
-        return compose_tiles(
-            rf, ["no_rule"] + config.manifest.layer_order, config.salt_threshold
-        )
+        return compose_tiles_presorted(rf, ["no_rule"] + config.manifest.layer_order)
 
     tiles = stage("tiles").run(
         spark,
         _compose,
-        writer=lambda df, p: df.repartitionByRange("zoom", "tile_h")
-        .sortWithinPartitions("zoom", "tile_h")
-        .write.mode("overwrite")
-        .partitionBy("zoom")
-        .parquet(p),
-        inputs=["content", "points_sorted"],
+        writer=lambda df, p: df.write.mode("overwrite").partitionBy("zoom").parquet(p),
+        inputs=["content"],
     )
 
-    # 6. metrics tables (S11 report analog)
+    # 5. metrics tables (S11 report analog)
     manifest_df = stage("tile_manifest").run(
         spark, lambda: tile_manifest(content), inputs=["content"]
     )
@@ -267,9 +252,9 @@ def build_planet(
     )
 
     return {
-        "points": points,
+        "points": points_sorted,
         "points_sorted": points_sorted,
-        "leaves": leaves,
+        "leaves": tree.where(F.col("zoom") == config.leaf_zoom),
         "tree": tree,
         "content": content,
         "tiles": tiles,

@@ -44,7 +44,7 @@ def test_build_planet_end_to_end(spark, tmp_path):
         assert n_feats == t.feature_count
 
     # lineage sidecars exist with row counts
-    lin_path = os.path.join(planet, "points", "_lineage.json")
+    lin_path = os.path.join(planet, "points_sorted", "_lineage.json")
     with open(lin_path) as f:
         lin = json.load(f)
     assert lin["row_count"] == n_points and lin["partitions"]
@@ -61,12 +61,12 @@ def test_build_resume_skips_completed_stages(spark, tmp_path):
     pages = synthesize_pages(spark, 120, seed=7, partitions=2)
     cfg = BuildConfig(leaf_zoom=10, sort_partitions=2)
     first = build_planet(spark, pages, planet, cfg)
-    mtime = os.path.getmtime(os.path.join(planet, "points", "_lineage.json"))
+    mtime = os.path.getmtime(os.path.join(planet, "points_sorted", "_lineage.json"))
     again = build_planet(spark, pages, planet, cfg)
-    assert os.path.getmtime(os.path.join(planet, "points", "_lineage.json")) == mtime
+    assert os.path.getmtime(os.path.join(planet, "points_sorted", "_lineage.json")) == mtime
     assert again["points"].count() == first["points"].count()
 
     # changing config fingerprint forces recompute
     cfg2 = BuildConfig(leaf_zoom=12, sort_partitions=2)
     build_planet(spark, pages, planet, cfg2)
-    assert os.path.getmtime(os.path.join(planet, "points", "_lineage.json")) > mtime
+    assert os.path.getmtime(os.path.join(planet, "points_sorted", "_lineage.json")) > mtime
