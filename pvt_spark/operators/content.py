@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.geo import zoom_h
 from ..manifest import CompiledRules, Manifest
-from .rules import evaluate_rules, visible_zooms
+from .rules import evaluate_rules_inline, visible_zooms
 
 
 def render_content(
@@ -49,7 +49,9 @@ def render_content(
         else F.size(F.col(tags_col)) > 0
     )
     tagged = features.where(nonempty)
-    evaluated = evaluate_rules(tagged, compiled, id_col=id_col, tags_col=tags_col)
+    # inline fold evaluation: zero shuffles (equivalence with the
+    # broadcast-join evaluate_rules is property-tested)
+    evaluated = evaluate_rules_inline(tagged, compiled, tags_col=tags_col)
     per_zoom = visible_zooms(evaluated, manifest.leaf_zoom)
     return per_zoom.select(
         F.col("zoom"),

@@ -105,6 +105,96 @@ def evaluate_rules(
     return out.join(F.broadcast(evals), "eval_i", "left")
 
 
+_SEP = "\x00"  # separator for the tag-match key (no NUL in real tags)
+
+
+def _str_array_literal(items):
+    if not items:
+        return F.expr("cast(array() as array<string>)")
+    return F.array(*[F.lit(x) for x in items])
+
+
+
+def _map_literal(pairs: dict[str, int]):
+    args = []
+    for k, v in sorted(pairs.items()):
+        args.extend([F.lit(k), F.lit(v)])
+    if not args:
+        return F.expr("cast(map() as map<string,int>)")
+    return F.create_map(*args)
+
+
+def evaluate_rules_inline(
+    features: DataFrame,
+    compiled: CompiledRules,
+    tags_col: str = "tags",
+) -> DataFrame:
+    """F2 as a PURE per-row expression — no explode, no shuffle, no join.
+
+    Rule tables become literal MAP expressions (rule sets are small:
+    tens to hundreds of entries) and the precedence scan is a left fold
+    over the tag array: per tag the candidate is the best of
+    Tag(0)/Value(1)/Key(2) lookups, and the fold keeps the lowest
+    match-type seen first — identical to the reference's scan
+    (src/rules.rs:264-310) and to the min_by formulation in
+    ``evaluate_rules`` (property-tested equivalent), but entirely
+    inside whole-stage codegen. Eval metadata (minzoom/maxzoom/layers/
+    include) is likewise a literal array indexed by the winning eval.
+    """
+    tag_map = _map_literal({f"{k}{_SEP}{v}": i for k, v, i in compiled.tag_matches})
+    value_map = _map_literal({v: i for v, i in compiled.value_matches})
+    key_map = _map_literal({k: i for k, i in compiled.key_matches})
+
+    tags_field = dict(features.dtypes)[tags_col]
+    tags_arr = (
+        F.map_entries(F.col(tags_col)) if tags_field.startswith("map") else F.col(tags_col)
+    )
+
+    zero = F.struct(F.lit(3).alias("mtype"), F.lit(0).alias("eval_i"))
+
+    def step(acc, t):
+        te = F.element_at(tag_map, F.concat(t["key"], F.lit(_SEP), t["value"]))
+        ve = F.element_at(value_map, t["value"])
+        ke = F.element_at(key_map, t["key"])
+        cand = (
+            F.when(te.isNotNull(), F.struct(F.lit(0).alias("mtype"), te.alias("eval_i")))
+            .when(ve.isNotNull(), F.struct(F.lit(1).alias("mtype"), ve.alias("eval_i")))
+            .when(ke.isNotNull(), F.struct(F.lit(2).alias("mtype"), ke.alias("eval_i")))
+            .otherwise(F.struct(F.lit(3).alias("mtype"), F.lit(0).alias("eval_i")))
+        )
+        return F.when(cand["mtype"] < acc["mtype"], cand).otherwise(acc)
+
+    folded = F.aggregate(tags_arr, zero, step)
+    out = features.withColumn("eval_i", folded["eval_i"])
+
+    # eval metadata as literal arrays indexed by eval_i (1-based element_at)
+    evals = compiled.evals
+    meta = F.element_at(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    _str_array_literal(layers).alias("layers"),
+                    F.lit(mn).alias("minzoom"),
+                    F.lit(mx).alias("maxzoom"),
+                    F.lit(ik).alias("include_kind"),
+                    _str_array_literal(iks).alias("include_keys"),
+                )
+                for (name, layers, mn, mx, ik, iks) in evals
+            ]
+        ),
+        F.col("eval_i") + 1,
+    )
+    return (
+        out.withColumn("rule", meta["rule"])
+        .withColumn("layers", meta["layers"])
+        .withColumn("minzoom", meta["minzoom"])
+        .withColumn("maxzoom", meta["maxzoom"])
+        .withColumn("include_kind", meta["include_kind"])
+        .withColumn("include_keys", meta["include_keys"])
+    )
+
+
 def visible_zooms(df: DataFrame, leaf_zoom: int) -> DataFrame:
     """F3 as a single explode: one row per (feature, even zoom) where the
     winning rule's [minzoom, maxzoom] covers the zoom.

@@ -110,3 +110,31 @@ def test_include_tags_projection(spark):
     # all_tags override keeps everything
     out2 = include_tags(evaluate_rules(feats, compiled), all_tags=True).collect()[0]
     assert out2.out_tags == {"building": "yes", "name": "x"}
+
+
+def test_inline_equals_broadcast_join_evaluation(spark):
+    """Property test: the fold-expression evaluator matches the
+    min_by/broadcast-join evaluator on randomized tag sets."""
+    import random
+
+    from pvt_spark.operators.rules import evaluate_rules_inline
+
+    rng = random.Random(42)
+    compiled = compile_rules(_manifest())
+    keys = ["highway", "building", "name", "x", "amenity"]
+    vals = ["motorway", "special", "residential", "yes", "z"]
+    rows = []
+    for fid in range(200):
+        n = rng.randint(1, 5)
+        tags = [(rng.choice(keys), rng.choice(vals)) for _ in range(n)]
+        rows.append((fid, tags))
+    feats = _features(spark, rows)
+    a = {
+        r.feature_id: (r.rule, r.minzoom, r.maxzoom)
+        for r in evaluate_rules(feats, compiled).collect()
+    }
+    b = {
+        r.feature_id: (r.rule, r.minzoom, r.maxzoom)
+        for r in evaluate_rules_inline(feats, compiled).collect()
+    }
+    assert a == b
