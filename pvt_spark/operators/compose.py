@@ -325,3 +325,180 @@ def compose_tiles_presorted(
         "zoom", "tile_h", "layer"
     )
     return part2.mapInPandas(lambda it: _phase2_stream(it, layer_order), TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Point-feature fast path: every column primitive (no per-row lists/dicts
+# cross the Arrow boundary), finals emitted in phase 1
+# ---------------------------------------------------------------------------
+
+UNIFIED_SCHEMA = (
+    "zoom int, tile_h long, final boolean, tile_id long, layer_count int, "
+    "feature_count long, payload binary, payload_size int, "
+    "layer string, n_features long, chunk binary"
+)
+
+
+def _encode_tile_slices(zoom, tile_h, s, e, layer_rank, layers, hs, fids, n_tags,
+                        kv_flat, kv_off, pts):
+    """Encode one tile from batch-global arrays (rows [s:e), pre-sorted by
+    (layer_rank, h, id))."""
+    out_layers = []
+    bounds = [s] + list(s + 1 + np.flatnonzero(layer_rank[s + 1 : e] != layer_rank[s : e - 1])) + [e]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        out_layers.append(
+            {
+                "name": layers[a],
+                "ids": fids[a:b],
+                "n_tags": n_tags[a:b],
+                "kv": kv_flat[kv_off[a] : kv_off[b]],
+                "geom_lens": np.ones(b - a, dtype=np.int64),
+                "pts": pts[2 * a : 2 * b],
+            }
+        )
+    payload = encode_tile_arrays(zoom, tile_h, out_layers)
+    tile_id = (
+        (zoom << 47) | tile_h
+        if tile_h <= 140_737_488_355_327
+        else tile_h % 4_503_599_627_370_495
+    )
+    return (zoom, tile_h, True, tile_id, len(out_layers), e - s, payload, len(payload), None, None, None)
+
+
+def _chunk_rows_for_tile(zoom, tile_h, s, e, layer_rank, layers, hs, raw_ids, n_tags,
+                         kv_flat, kv_off, pts):
+    """Boundary tile -> mergeable chunk rows (same format as _chunk_of)."""
+    rows = []
+    bounds = [s] + list(s + 1 + np.flatnonzero(layer_rank[s + 1 : e] != layer_rank[s : e - 1])) + [e]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        chunk = pickle.dumps(
+            {
+                "ids": raw_ids[a:b],
+                "h": hs[a:b],
+                "n_tags": n_tags[a:b],
+                "kv": list(kv_flat[kv_off[a] : kv_off[b]]),
+                "geom_lens": np.ones(b - a, dtype=np.int64),
+                "pts": pts[2 * a : 2 * b].copy(),
+            },
+            protocol=4,
+        )
+        rows.append(
+            (zoom, tile_h, False, None, None, None, None, None, layers[a], b - a, chunk)
+        )
+    return rows
+
+
+def _phase1_points_stream(batches, tolerance: float):
+    carry: pd.DataFrame | None = None
+    first_emitted = False
+    out_first_rows = None
+
+    def process(done: pd.DataFrame, chunk_first_tile: bool):
+        done = done.sort_values(
+            ["zoom", "tile_h", "layer_rank", "h", "feature_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(done)
+        zoom = done["zoom"].to_numpy(dtype=np.int64)
+        tile_h = done["tile_h"].to_numpy(dtype=np.int64)
+        layer_rank = done["layer_rank"].to_numpy(dtype=np.int64)
+        layers = done["layer"].to_numpy()
+        hs = done["h"].to_numpy(dtype=np.int64)
+        raw_ids = done["feature_id"].to_numpy(dtype=np.int64)
+        n_tags = done["n_tags"].to_numpy(dtype=np.int64)
+        gx = done["gx"].to_numpy(dtype=np.float64)
+        gy = done["gy"].to_numpy(dtype=np.float64)
+        kv_cells = done["kv"].to_numpy()
+        kv_flat = (
+            np.concatenate(kv_cells) if n else np.empty(0, dtype=object)
+        )
+        kv_off = np.concatenate([[0], np.cumsum(n_tags * 2)])
+        tx, ty = _tile_origin_xy(zoom, tile_h)
+        px, py = tile_project(
+            zoom.astype(np.float64), tx.astype(np.float64), ty.astype(np.float64), gx, gy
+        )
+        pts = np.empty(2 * n, dtype=np.int16)
+        pts[0::2] = px
+        pts[1::2] = py
+        fids = _feature_tile_id(zoom, hs)
+        # tile boundaries
+        tb = [0] + list(
+            1 + np.flatnonzero((tile_h[1:] != tile_h[:-1]) | (zoom[1:] != zoom[:-1]))
+        ) + [n]
+        rows = []
+        for i, (s, e) in enumerate(zip(tb[:-1], tb[1:])):
+            if chunk_first_tile and i == 0:
+                rows.extend(
+                    _chunk_rows_for_tile(
+                        int(zoom[s]), int(tile_h[s]), s, e, layer_rank, layers, hs,
+                        raw_ids, n_tags, kv_flat, kv_off, pts,
+                    )
+                )
+            else:
+                rows.append(
+                    _encode_tile_slices(
+                        int(zoom[s]), int(tile_h[s]), s, e, layer_rank, layers, hs,
+                        fids, n_tags, kv_flat, kv_off, pts,
+                    )
+                )
+        return rows
+
+    cols = [
+        "zoom", "tile_h", "final", "tile_id", "layer_count", "feature_count",
+        "payload", "payload_size", "layer", "n_features", "chunk",
+    ]
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if pdf.empty:
+            continue
+        last_z = pdf["zoom"].iloc[-1]
+        last_h = pdf["tile_h"].iloc[-1]
+        is_last = (pdf["zoom"] == last_z) & (pdf["tile_h"] == last_h)
+        carry = pdf[is_last]
+        done = pdf[~is_last]
+        if done.empty:
+            continue
+        rows = process(done, chunk_first_tile=not first_emitted)
+        first_emitted = True
+        yield pd.DataFrame(rows, columns=cols)
+    if carry is not None and not carry.empty:
+        # the partition's last tile may continue in the next partition
+        rows = process(carry, chunk_first_tile=True)
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def compose_points_presorted(
+    render_features: DataFrame,
+    layer_order: list[str],
+    tolerance: float = DEFAULT_TOLERANCE,
+    merge_partitions: int | None = None,
+) -> DataFrame:
+    """Single-point-feature compose over (zoom, tile_h)-clustered input.
+
+    Input columns (all primitive — nothing per-row crosses Arrow as
+    Python objects except the flat kv string array):
+      zoom int, tile_h long, feature_id long, h long, layer string,
+      layer_rank int, kv array<string> (sorted k,v pairs interleaved),
+      n_tags int, gx long, gy long
+
+    Phase 1 emits FINAL payloads for tiles interior to its partition
+    (range partitioning keeps a tile in one partition, so that is
+    almost all of them) and mergeable chunks only for the first/last
+    tile of each partition; phase 2 merges those few boundary tiles.
+    """
+    spark = render_features.sparkSession
+    merge_partitions = merge_partitions or 8
+    ph1 = render_features.mapInPandas(
+        lambda it: _phase1_points_stream(it, tolerance), UNIFIED_SCHEMA
+    ).persist()
+    finals = ph1.where(F.col("final")).select(*_TILE_COLS)
+    partials = ph1.where(~F.col("final")).select(
+        "zoom", "tile_h", F.lit(0).alias("salt"), "layer", "n_features", "chunk"
+    )
+    merged = (
+        partials.repartition(merge_partitions, "zoom", "tile_h")
+        .sortWithinPartitions("zoom", "tile_h", "layer")
+        .mapInPandas(lambda it: _phase2_stream(it, layer_order), TILE_SCHEMA)
+    )
+    return finals.unionByName(merged)

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..manifest import DEFAULT_MANIFEST, Manifest, compile_rules
-from ..operators.compose import compose_tiles_presorted
+from ..operators.compose import compose_points_presorted
 from ..operators.content import render_content, tile_manifest, write_content, zoom_metrics
 from ..operators.extract import EXTRACTOR_VERSION, extract_pages
 from ..operators.geotag import geotag
@@ -214,7 +214,8 @@ def build_planet(
         spark, _content, writer=write_content, inputs=["points_sorted"]
     )
 
-    # 4. tile payload assembly (A6/P7/DP) on the pre-clustered content
+    # 4. tile payload assembly (A6/P7/DP) on the pre-clustered content —
+    #    single-point fast path: only primitive columns cross into Python
     def _compose() -> DataFrame:
         evals_df = spark.createDataFrame(
             [(i, e[4], e[5]) for i, e in enumerate(compiled.evals)],
@@ -224,17 +225,28 @@ def build_planet(
             content.join(F.broadcast(evals_df), "eval_i", "left"),
             all_tags=config.manifest.all_tags,
         )
+        layer_order = ["no_rule"] + config.manifest.layer_order
+        rank_args = []
+        for i, name in enumerate(layer_order):
+            rank_args.extend([F.lit(name), F.lit(i)])
+        rank_map = F.create_map(*rank_args)
         rf = feats.select(
             "zoom",
             "tile_h",
             "feature_id",
             "h",
             F.explode("layers").alias("layer"),
-            "out_tags",
-            F.array("gx").alias("geom_x"),
-            F.array("gy").alias("geom_y"),
+            F.expr(
+                "flatten(transform(array_sort(map_entries(out_tags)),"
+                " e -> array(e.key, e.value)))"
+            ).alias("kv"),
+            F.size("out_tags").alias("n_tags"),
+            "gx",
+            "gy",
+        ).withColumn(
+            "layer_rank", F.coalesce(F.element_at(rank_map, F.col("layer")), F.lit(999))
         )
-        return compose_tiles_presorted(rf, ["no_rule"] + config.manifest.layer_order)
+        return compose_points_presorted(rf, layer_order)
 
     tiles = stage("tiles").run(
         spark,
