@@ -180,6 +180,33 @@ class Tile:
         return np.trunc(x).astype(np.int16), np.trunc(y).astype(np.int16)
 
 
+_BEARINGS = ["NW", "NS", "NE", "WS", "WE", "WN", "SE", "SN", "SW", "EN", "EW", "ES"]
+
+
+def hilbert_bearing(t: Tile) -> str | None:
+    """P9 (reference src/tile.rs:336-420): which neighbors the curve enters
+    and exits this tile through (debug/Info layer). Returns e.g. "WE" or
+    None at curve ends/edges."""
+    order_max = 1 << t.z
+    n = _xy2h_scalar(t.x, t.y - 1, t.z) if t.y != 0 else None
+    w = _xy2h_scalar(t.x - 1, t.y, t.z) if t.x != 0 else None
+    s = _xy2h_scalar(t.x, t.y + 1, t.z) if t.y + 1 < order_max else None
+    e = _xy2h_scalar(t.x + 1, t.y, t.z) if t.x + 1 < order_max else None
+    from_h = t.h - 1 if t.h != 0 else None
+    to_h = t.h + 1 if t.h < (1 << (2 * t.z)) else None
+    if to_h is None:
+        return None
+    if n == from_h:
+        return {w: "NW", s: "NS", e: "NE"}.get(to_h)
+    if w == from_h:
+        return {s: "WS", e: "WE", n: "WN"}.get(to_h, "WE")
+    if s == from_h:
+        return {e: "SE", n: "SN", w: "SW"}.get(to_h, "SN")
+    if e == from_h:
+        return {n: "EN", w: "EW", s: "ES"}.get(to_h)
+    return None
+
+
 def tile_project(z, tile_x, tile_y, loc_x, loc_y):
     """Fully vectorized variant of Tile.project over per-row tiles.
 
