@@ -67,6 +67,29 @@ def _geotag_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def pages_to_points(pages: DataFrame) -> DataFrame:
+    """FUSED extract + geotag: html -> text -> mentions -> dm7 -> h in ONE
+    Python pass.
+
+    Chaining extract_pages() and geotag() as separate nodes ships the
+    full html/text payload Python->JVM->Python through Arrow twice; in
+    local mode it also doubles the Python worker count per task. The
+    fused kernel reads (url, html), runs the SAME versioned extractor
+    (byte-identity tested separately), and emits only the small point
+    rows. Column pruning reaches the scan: only url+html are read.
+    """
+    from .extract import extract_text
+
+    slim = pages.select("url", "html")
+
+    def run(batches):
+        for pdf in batches:
+            text = pdf["html"].map(extract_text)
+            yield _geotag_batch(pd.DataFrame({"url": pdf["url"], "text": text}))
+
+    return slim.mapInPandas(run, POINTS_SCHEMA)
+
+
 def geotag(pages_with_text: DataFrame, text_col: str = "extracted_text") -> DataFrame:
     """(url, <text_col>) -> points(url, mention_idx, lon_dm7, lat_dm7, h).
 

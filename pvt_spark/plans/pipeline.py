@@ -11,12 +11,13 @@ without requiring an Iceberg catalog in this sandbox (swap
 ``.write.parquet`` for an Iceberg table write on a real cluster; the
 lineage JSON maps 1:1 onto Iceberg snapshot summary properties).
 
-Stage graph:
+Stage graph (shuffle-minimal; see build_planet docstring):
 
-  pages --extract--> points --hilbert sort--> points_sorted
-        --leaves--> leaves --tree--> tile_tree
-        --rules+content--> content --compose--> tiles
-        --metrics--> tile_manifest / zoom_metrics
+  pages --extract+geotag+featureize+hilbert-sort--> points_sorted
+        --leaf agg + 16x rollup--> tile_tree
+        --inline rules + zoom explode + range write--> content
+        --phase1 finals (+ boundary merge)--> tiles
+        --counts--> tile_manifest / zoom_metrics
 """
 
 from __future__ import annotations
@@ -32,8 +33,8 @@ from pyspark.sql import functions as F
 from ..manifest import DEFAULT_MANIFEST, Manifest, compile_rules
 from ..operators.compose import compose_points_presorted
 from ..operators.content import render_content, tile_manifest, write_content, zoom_metrics
-from ..operators.extract import EXTRACTOR_VERSION, extract_pages
-from ..operators.geotag import geotag
+from ..operators.extract import EXTRACTOR_VERSION
+from ..operators.geotag import pages_to_points
 from ..operators.hilbert_sort import hilbert_sort
 from ..operators.leaves import build_leaves
 from ..operators.rules import include_tags
@@ -182,7 +183,7 @@ def build_planet(
     points_sorted = stage("points_sorted").run(
         spark,
         lambda: hilbert_sort(
-            _featureize(geotag(extract_pages(pages)), config.tags_from_url),
+            _featureize(pages_to_points(pages), config.tags_from_url),
             num_partitions=config.sort_partitions,
         ),
         inputs=["pages"],

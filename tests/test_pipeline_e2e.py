@@ -125,3 +125,15 @@ def test_hilbert_sort_partition_ordering(spark):
     ).orderBy("pid").toPandas()
     for i in range(len(bounds) - 1):
         assert bounds.hi[i] <= bounds.lo[i + 1]
+
+
+def test_fused_pages_to_points_equals_chain(spark):
+    from pvt_spark.operators.geotag import pages_to_points
+
+    pages = synthesize_pages(spark, 150, seed=42, partitions=3)
+    chained = geotag(extract_pages(pages)).collect()
+    fused = pages_to_points(pages).collect()
+    key = lambda r: (r.url, r.mention_idx)  # noqa: E731
+    a = {key(r): (r.lon_dm7, r.lat_dm7, r.h) for r in chained}
+    b = {key(r): (r.lon_dm7, r.lat_dm7, r.h) for r in fused}
+    assert a == b
