@@ -28,6 +28,8 @@ import time
 
 
 def _build_once(master: str, n_pages: int, tmp_root: str) -> dict:
+    """Materialize the synthetic pages table (untimed — production reads an
+    existing Iceberg/parquet table), then time the engine build."""
     from pvt_spark.plans.pipeline import BuildConfig, build_planet
     from pvt_spark.session import get_spark
     from pvt_spark.sources.pages import synthesize_pages
@@ -36,7 +38,10 @@ def _build_once(master: str, n_pages: int, tmp_root: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     planet = os.path.join(tmp_root, f"planet_{master.replace('[', '_').replace(']', '')}")
     shutil.rmtree(planet, ignore_errors=True)
-    pages = synthesize_pages(spark, n_pages, seed=42)
+    pages_path = os.path.join(tmp_root, f"pages_{n_pages}")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        synthesize_pages(spark, n_pages, seed=42).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
     t0 = time.time()
     out = build_planet(spark, pages, planet, BuildConfig(leaf_zoom=12))
     n_tiles = out["tiles"].count()

@@ -31,8 +31,15 @@ def get_spark(
         # Arrow transfer for every pandas UDF kernel
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # keep scan splits bounded so partitions fit executor memory
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan splits: this engine runs heavy Python/Arrow kernels after
+        # most scans, so work units must be small enough to spread across
+        # cores — 128MB bin-packing collapses a compressed stage output
+        # into a handful of tasks (measured: content stage parallelism 4
+        # on a 150MB input). 16MB splits + low open cost keep every stage
+        # at full width; same reasoning for the AQE advisory size.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "524288")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.driver.memory", os.environ.get("PVT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
