@@ -807,6 +807,64 @@ SELECT vec_id, centroid_id, d2 FROM ranked WHERE rn = 1 ORDER BY vec_id
 """
 
 
+
+
+def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: exact integer dot products;
+    cos >= 0.95 tested as dot^2 >= 0.25*|a|^2*|b|^2 (doubles derived
+    deterministically from exact ints)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = "transform(embedding, e -> cast(round(e * 10000) as bigint))"
+    dotq = "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    quant = emb.select("vec_id", F.expr(q).alias("qv")).withColumn(
+        "n2", F.expr("aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)")
+    )
+    pairs = (
+        quant.alias("a")
+        .join(quant.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.expr(dotq).alias("dot"),
+            F.col("a.n2").alias("na"),
+            F.col("b.n2").alias("nb"),
+        )
+    )
+    return (
+        pairs.where(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("double") * F.col("dot").cast("double")
+                >= F.lit(0.25) * F.col("na").cast("double") * F.col("nb").cast("double")
+            )
+        )
+        .select("vec_a", "vec_b", "dot")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+Q29_SQL = """
+WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding, e -> cast(round(e * 10000) AS BIGINT)) AS qv
+  FROM embeddings),
+normed AS (
+  SELECT vec_id, qv,
+         cast(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM quant),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         cast(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+         a.n2 AS na, b.n2 AS nb
+  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, dot FROM pairs
+WHERE dot > 0
+  AND cast(dot AS DOUBLE) * cast(dot AS DOUBLE) >= 0.25 * cast(na AS DOUBLE) * cast(nb AS DOUBLE)
+ORDER BY vec_a, vec_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-specific Hilbert queries. q25's oracle is pure golden constants
 # (the reference's own asserted values); the rest are rows-only checks
@@ -951,6 +1009,7 @@ REGISTRY: dict[str, tuple] = {
     "q22_simhash": (q22_simhash, Q22_SQL),
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
     "q24_centroid_assign": (q24_centroid_assign, Q24_SQL),
+    "q29_embedding_neardup": (q29_embedding_neardup, Q29_SQL),
     "q25_hilbert_goldens": (q25_hilbert_goldens, Q25_SQL),
     "q26_hilbert_leaves": (q26_hilbert_leaves, None),
     "q27_tile_tree": (q27_tile_tree, None),
