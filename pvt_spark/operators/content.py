@@ -74,14 +74,20 @@ def tile_h_at_zoom_col(h_col: str, zoom_col: str):
 
 
 def write_content(content: DataFrame, path: str) -> None:
-    """Persist partitioned by zoom, Hilbert-sorted within partitions."""
+    """Persist partitioned by zoom, Hilbert-sorted within partitions.
+
+    The input is cached first: repartitionByRange's boundary-sampling
+    pass would otherwise re-run the whole rule/explode chain.
+    """
+    cached = content.persist()
     (
-        content.repartitionByRange("zoom", "tile_h")
+        cached.repartitionByRange("zoom", "tile_h")
         .sortWithinPartitions("zoom", "tile_h")
         .write.mode("overwrite")
         .partitionBy("zoom")
         .parquet(path)
     )
+    cached.unpersist()
 
 
 def tile_manifest(content: DataFrame) -> DataFrame:
@@ -99,4 +105,12 @@ def zoom_metrics(content: DataFrame) -> DataFrame:
     return content.groupBy("zoom").agg(
         F.countDistinct("tile_h").alias("tile_count"),
         F.count(F.lit(1)).alias("feature_rows"),
+    )
+
+
+def zoom_metrics_from_manifest(manifest: DataFrame) -> DataFrame:
+    """Same result derived from the (much smaller) tile manifest."""
+    return manifest.groupBy("zoom").agg(
+        F.count(F.lit(1)).alias("tile_count"),
+        F.sum("feature_count").alias("feature_rows"),
     )

@@ -18,8 +18,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def hilbert_sort(df: DataFrame, h_col: str = "h", num_partitions: int | None = None) -> DataFrame:
-    """Range-partition + sort by the (biased signed) Hilbert key."""
+def hilbert_sort(
+    df: DataFrame,
+    h_col: str = "h",
+    num_partitions: int | None = None,
+    persist_input: bool = True,
+) -> DataFrame:
+    """Range-partition + sort by the (biased signed) Hilbert key.
+
+    ``repartitionByRange`` executes its child an EXTRA time to sample
+    range boundaries; when the input is an expensive computed chain
+    (extraction/geotag kernels), persist it first so the sampling pass
+    reads the cache instead of recomputing (~2x stage speedup measured).
+    """
+    if persist_input:
+        df = df.persist()
     if num_partitions:
         out = df.repartitionByRange(num_partitions, h_col)
     else:

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from ..manifest import DEFAULT_MANIFEST, Manifest, compile_rules
 from ..operators.compose import compose_points_presorted
-from ..operators.content import render_content, tile_manifest, write_content, zoom_metrics
+from ..operators.content import (
+    render_content,
+    tile_manifest,
+    write_content,
+    zoom_metrics_from_manifest,
+)
 from ..operators.extract import EXTRACTOR_VERSION
 from ..operators.geotag import pages_to_points
 from ..operators.hilbert_sort import hilbert_sort
@@ -256,12 +261,15 @@ def build_planet(
         inputs=["content"],
     )
 
-    # 5. metrics tables (S11 report analog)
+    # 5. metrics tables (S11 report analog); zoom metrics derive from the
+    #    small tile manifest, not a content re-scan
     manifest_df = stage("tile_manifest").run(
         spark, lambda: tile_manifest(content), inputs=["content"]
     )
     metrics_df = stage("zoom_metrics").run(
-        spark, lambda: zoom_metrics(content), inputs=["content"]
+        spark,
+        lambda: zoom_metrics_from_manifest(manifest_df),
+        inputs=["tile_manifest"],
     )
 
     return {
