@@ -19,7 +19,9 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+    # 4 waves per shuffle stage: smooths stragglers/stage tails (skewed
+    # hot-cell partitions); AQE coalesces where partitions end up tiny
+    shuffle_partitions = shuffle_partitions or max(cpus * 4, 64)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
