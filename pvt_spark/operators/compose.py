@@ -389,28 +389,38 @@ def _chunk_rows_for_tile(zoom, tile_h, s, e, layer_rank, layers, hs, raw_ids, n_
 
 
 def _phase1_points_stream(batches, tolerance: float):
-    carry: pd.DataFrame | None = None
-    first_emitted = False
-    out_first_rows = None
+    """Stateless per-batch processing with per-file-run boundary chunking.
 
-    def process(done: pd.DataFrame, chunk_first_tile: bool):
-        done = done.sort_values(
+    Safety argument: a tile's rows live in exactly ONE content file
+    (range partitioning) and are contiguous within it (sorted write).
+    Read bin-packing can split a big file into segments and interleave
+    them with other files, so for every contiguous same-file run inside
+    a batch, the run's FIRST and LAST tiles are emitted as mergeable
+    chunks (their rows may continue in another run/batch/partition);
+    strictly interior tiles are provably complete -> final payloads.
+    No cross-batch carry state needed — chunks merge in phase 2.
+    """
+    cols = [
+        "zoom", "tile_h", "final", "tile_id", "layer_count", "feature_count",
+        "payload", "payload_size", "layer", "n_features", "chunk",
+    ]
+
+    def process_run(run: pd.DataFrame):
+        run = run.sort_values(
             ["zoom", "tile_h", "layer_rank", "h", "feature_id"], kind="mergesort"
         ).reset_index(drop=True)
-        n = len(done)
-        zoom = done["zoom"].to_numpy(dtype=np.int64)
-        tile_h = done["tile_h"].to_numpy(dtype=np.int64)
-        layer_rank = done["layer_rank"].to_numpy(dtype=np.int64)
-        layers = done["layer"].to_numpy()
-        hs = done["h"].to_numpy(dtype=np.int64)
-        raw_ids = done["feature_id"].to_numpy(dtype=np.int64)
-        n_tags = done["n_tags"].to_numpy(dtype=np.int64)
-        gx = done["gx"].to_numpy(dtype=np.float64)
-        gy = done["gy"].to_numpy(dtype=np.float64)
-        kv_cells = done["kv"].to_numpy()
-        kv_flat = (
-            np.concatenate(kv_cells) if n else np.empty(0, dtype=object)
-        )
+        n = len(run)
+        zoom = run["zoom"].to_numpy(dtype=np.int64)
+        tile_h = run["tile_h"].to_numpy(dtype=np.int64)
+        layer_rank = run["layer_rank"].to_numpy(dtype=np.int64)
+        layers = run["layer"].to_numpy()
+        hs = run["h"].to_numpy(dtype=np.int64)
+        raw_ids = run["feature_id"].to_numpy(dtype=np.int64)
+        n_tags = run["n_tags"].to_numpy(dtype=np.int64)
+        gx = run["gx"].to_numpy(dtype=np.float64)
+        gy = run["gy"].to_numpy(dtype=np.float64)
+        kv_cells = run["kv"].to_numpy()
+        kv_flat = np.concatenate(kv_cells) if n else np.empty(0, dtype=object)
         kv_off = np.concatenate([[0], np.cumsum(n_tags * 2)])
         tx, ty = _tile_origin_xy(zoom, tile_h)
         px, py = tile_project(
@@ -420,51 +430,40 @@ def _phase1_points_stream(batches, tolerance: float):
         pts[0::2] = px
         pts[1::2] = py
         fids = _feature_tile_id(zoom, hs)
-        # tile boundaries
         tb = [0] + list(
             1 + np.flatnonzero((tile_h[1:] != tile_h[:-1]) | (zoom[1:] != zoom[:-1]))
         ) + [n]
+        n_tiles = len(tb) - 1
         rows = []
-        for i, (s, e) in enumerate(zip(tb[:-1], tb[1:])):
-            if chunk_first_tile and i == 0:
+        for i, (s_, e_) in enumerate(zip(tb[:-1], tb[1:])):
+            boundary = i == 0 or i == n_tiles - 1
+            if boundary:
                 rows.extend(
                     _chunk_rows_for_tile(
-                        int(zoom[s]), int(tile_h[s]), s, e, layer_rank, layers, hs,
-                        raw_ids, n_tags, kv_flat, kv_off, pts,
+                        int(zoom[s_]), int(tile_h[s_]), s_, e_, layer_rank, layers,
+                        hs, raw_ids, n_tags, kv_flat, kv_off, pts,
                     )
                 )
             else:
                 rows.append(
                     _encode_tile_slices(
-                        int(zoom[s]), int(tile_h[s]), s, e, layer_rank, layers, hs,
-                        fids, n_tags, kv_flat, kv_off, pts,
+                        int(zoom[s_]), int(tile_h[s_]), s_, e_, layer_rank, layers,
+                        hs, fids, n_tags, kv_flat, kv_off, pts,
                     )
                 )
         return rows
 
-    cols = [
-        "zoom", "tile_h", "final", "tile_id", "layer_count", "feature_count",
-        "payload", "payload_size", "layer", "n_features", "chunk",
-    ]
     for pdf in batches:
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
         if pdf.empty:
             continue
-        last_z = pdf["zoom"].iloc[-1]
-        last_h = pdf["tile_h"].iloc[-1]
-        is_last = (pdf["zoom"] == last_z) & (pdf["tile_h"] == last_h)
-        carry = pdf[is_last]
-        done = pdf[~is_last]
-        if done.empty:
-            continue
-        rows = process(done, chunk_first_tile=not first_emitted)
-        first_emitted = True
-        yield pd.DataFrame(rows, columns=cols)
-    if carry is not None and not carry.empty:
-        # the partition's last tile may continue in the next partition
-        rows = process(carry, chunk_first_tile=True)
+        rows = []
+        if "_file" in pdf.columns:
+            f = pdf["_file"].to_numpy()
+            starts = [0] + list(1 + np.flatnonzero(f[1:] != f[:-1])) + [len(pdf)]
+            for a, b in zip(starts[:-1], starts[1:]):
+                rows.extend(process_run(pdf.iloc[a:b]))
+        else:
+            rows.extend(process_run(pdf))
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -489,7 +488,8 @@ def compose_points_presorted(
     """
     spark = render_features.sparkSession
     merge_partitions = merge_partitions or 8
-    ph1 = render_features.mapInPandas(
+    with_file = render_features.withColumn("_file", F.input_file_name())
+    ph1 = with_file.mapInPandas(
         lambda it: _phase1_points_stream(it, tolerance), UNIFIED_SCHEMA
     ).persist()
     finals = ph1.where(F.col("final")).select(*_TILE_COLS)
