@@ -488,7 +488,8 @@ def compose_points_presorted(
     """
     spark = render_features.sparkSession
     merge_partitions = merge_partitions or 8
-    with_file = render_features.withColumn("_file", F.input_file_name())
+    # equality-only marker: hash the file name to a long (cheap in Arrow)
+    with_file = render_features.withColumn("_file", F.xxhash64(F.input_file_name()))
     ph1 = with_file.mapInPandas(
         lambda it: _phase1_points_stream(it, tolerance), UNIFIED_SCHEMA
     ).persist()
