@@ -157,3 +157,20 @@ def test_cells_hierarchy():
     assert a[0] == b[0] != far[0]
     hx = hexish_cell(lon, lat, 8)
     assert len(np.unique(hx)) > 100
+
+
+def test_knn_ring_expansion_sparse_region(spark):
+    # two clusters far apart; query near cluster A with k exceeding its size
+    a = [(-1220280000 + i * 5000, 370490000) for i in range(3)]
+    b = [(-1100000000 + i * 5000, 300000000) for i in range(10)]
+    pts = _points(spark, a + b)
+    queries = _points(spark, [(-1220280000, 370490000)]).select(
+        F.col("feature_id").alias("query_id"), "lon_dm7", "lat_dm7", "h"
+    )
+    out = knn_per_tile(pts, queries, k=5, zoom=12, ring=1, max_ring=2048)
+    rows = out.collect()
+    # must find 5 neighbors despite only 3 living near the query tile
+    assert len(rows) == 5
+    near_ids = {0, 1, 2}
+    got_near = {r.neighbor_id for r in rows if r.rank <= 3}
+    assert got_near == near_ids
