@@ -111,6 +111,24 @@ def hilbert_h_to_lonlat(h: Column) -> Column:
     return _h_to_lonlat_udf(h)
 
 
+_H2XY_SCHEMA = StructType(
+    [StructField("gx", LongType()), StructField("gy", LongType())]
+)
+
+
+@F.pandas_udf(_H2XY_SCHEMA)
+def _h_to_grid_udf(hs: pd.Series) -> pd.DataFrame:
+    u = hb.signed_to_h(hs.to_numpy(dtype=np.int64))
+    x, y = hb.h2xy(u, 32)
+    return pd.DataFrame({"gx": x.astype(np.int64), "gy": y.astype(np.int64)})
+
+
+def hilbert_h_to_grid_xy(h: Column) -> Column:
+    """Biased-signed h -> struct<gx:long, gy:long> u32-grid coords (P5
+    without the lossy float round-trip to lonlat)."""
+    return _h_to_grid_udf(h)
+
+
 # ---------------------------------------------------------------------------
 # Zoom shifts (P6) — pure native SQL on the biased representation
 # ---------------------------------------------------------------------------

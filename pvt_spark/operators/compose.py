@@ -256,17 +256,19 @@ def _phase2_stream(batches, layer_order: list[str]):
         yield pd.DataFrame([_merge_tile_rows(z, th, carry, layer_order)], columns=_TILE_COLS)
 
 
-def compose_tiles(
+def geometry_chunks(
     render_features: DataFrame,
-    layer_order: list[str],
     salt_threshold: int = 100_000,
     tolerance: float = DEFAULT_TOLERANCE,
     partitions: int | None = None,
 ) -> DataFrame:
-    """render_features(zoom, tile_h, feature_id, h, layer, out_tags,
-    geom_x array<long>, geom_y array<long>) -> tiles table.
+    """Phase 0 + 1 of the generic compose: salted, projected, simplified
+    mergeable chunks (CHUNK_SCHEMA) for arbitrary line/ring geometry.
 
-    ``layer`` must already be exploded (one row per feature x layer).
+    render_features(zoom, tile_h, feature_id, h, layer, out_tags,
+    geom_x array<long>, geom_y array<long>); ``layer`` already exploded.
+    Chunks from this path and from ``points_chunks`` share one format,
+    so a mixed node/way/relation build merges them in ONE phase 2.
     """
     spark = render_features.sparkSession
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -289,14 +291,39 @@ def compose_tiles(
     part1 = salted.repartition(partitions, "zoom", "tile_h", "salt").sortWithinPartitions(
         "zoom", "tile_h", "salt", "layer", "h", "feature_id"
     )
-    chunks = part1.mapInPandas(
-        lambda it: _phase1_stream(it, tolerance), CHUNK_SCHEMA
-    )
+    return part1.mapInPandas(lambda it: _phase1_stream(it, tolerance), CHUNK_SCHEMA)
 
+
+def merge_chunks(
+    chunks: DataFrame, layer_order: list[str], partitions: int | None = None
+) -> DataFrame:
+    """Phase 2: shuffle chunk rows by (zoom, tile_h) and merge into final
+    tile payloads. Input chunks may come from any phase-1 producer."""
+    spark = chunks.sparkSession
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     part2 = chunks.repartition(partitions, "zoom", "tile_h").sortWithinPartitions(
         "zoom", "tile_h", "layer", "salt"
     )
     return part2.mapInPandas(lambda it: _phase2_stream(it, layer_order), TILE_SCHEMA)
+
+
+def compose_tiles(
+    render_features: DataFrame,
+    layer_order: list[str],
+    salt_threshold: int = 100_000,
+    tolerance: float = DEFAULT_TOLERANCE,
+    partitions: int | None = None,
+) -> DataFrame:
+    """render_features(zoom, tile_h, feature_id, h, layer, out_tags,
+    geom_x array<long>, geom_y array<long>) -> tiles table.
+
+    ``layer`` must already be exploded (one row per feature x layer).
+    """
+    return merge_chunks(
+        geometry_chunks(render_features, salt_threshold, tolerance, partitions),
+        layer_order,
+        partitions,
+    )
 
 
 def compose_tiles_presorted(
@@ -388,7 +415,7 @@ def _chunk_rows_for_tile(zoom, tile_h, s, e, layer_rank, layers, hs, raw_ids, n_
     return rows
 
 
-def _phase1_points_stream(batches, tolerance: float):
+def _phase1_points_stream(batches, tolerance: float, emit_finals: bool = True):
     """Stateless per-batch processing with per-file-run boundary chunking.
 
     Safety argument: a tile's rows live in exactly ONE content file
@@ -436,7 +463,7 @@ def _phase1_points_stream(batches, tolerance: float):
         n_tiles = len(tb) - 1
         rows = []
         for i, (s_, e_) in enumerate(zip(tb[:-1], tb[1:])):
-            boundary = i == 0 or i == n_tiles - 1
+            boundary = (not emit_finals) or i == 0 or i == n_tiles - 1
             if boundary:
                 rows.extend(
                     _chunk_rows_for_tile(
@@ -465,6 +492,26 @@ def _phase1_points_stream(batches, tolerance: float):
         else:
             rows.extend(process_run(pdf))
         yield pd.DataFrame(rows, columns=cols)
+
+
+def points_chunks(
+    render_features: DataFrame, tolerance: float = DEFAULT_TOLERANCE
+) -> DataFrame:
+    """Point fast path in all-chunks mode (CHUNK_SCHEMA) for MIXED builds:
+    every tile emits mergeable chunks (no finals), so point chunks can be
+    unioned with ``geometry_chunks`` from ways/relations and merged once.
+
+    Input columns as ``compose_points_presorted`` (primitive-only, input
+    already clustered by (zoom, tile_h)); runs shuffle-free.
+    """
+    with_file = render_features.withColumn("_file", F.xxhash64(F.input_file_name()))
+    ph1 = with_file.mapInPandas(
+        lambda it: _phase1_points_stream(it, tolerance, emit_finals=False),
+        UNIFIED_SCHEMA,
+    )
+    return ph1.select(
+        "zoom", "tile_h", F.lit(0).alias("salt"), "layer", "n_features", "chunk"
+    )
 
 
 def compose_points_presorted(

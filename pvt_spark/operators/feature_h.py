@@ -144,6 +144,50 @@ def assign_way_h(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     return ways.join(hs, "feature_id", "left")
 
 
+def way_geometry(ways_with_h: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Resolve each way's ordered ref coordinates into u32-grid arrays:
+    ways(feature_id, refs, ...) x nodes(feature_id, lon_dm7, lat_dm7) ->
+    + geom_x array<long>, geom_y array<long> (ref order preserved).
+
+    Pure JVM-side: explode + equi-join + collect_list(struct(pos,...))
+    + array_sort — the relational form of the reference's ref->coord
+    gather (src/hilbert/compose.rs:168-216)."""
+    from ..functions.geo import grid_x, grid_y
+
+    wn = (
+        ways_with_h.select("feature_id", F.posexplode("refs").alias("pos", "ref_id"))
+        .join(
+            nodes.select(F.col("feature_id").alias("ref_id"), "lon_dm7", "lat_dm7"),
+            "ref_id",
+        )
+        .withColumn("gx", grid_x(F.col("lon_dm7")))
+        .withColumn("gy", grid_y(F.col("lat_dm7")))
+    )
+    geom = (
+        wn.groupBy("feature_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "gx", "gy"))).alias("_pts"))
+        .select(
+            "feature_id",
+            F.expr("transform(_pts, p -> p.gx)").alias("geom_x"),
+            F.expr("transform(_pts, p -> p.gy)").alias("geom_y"),
+        )
+    )
+    return ways_with_h.join(geom, "feature_id")
+
+
+def relation_point_geometry(relations_with_h: DataFrame) -> DataFrame:
+    """Relations render as a single point at their mean-h location
+    (divergence note: the reference ships with relation rendering
+    disabled due to a known bug, src/hilbert/leaf.rs:155-166; we render
+    the A1 mean-h location as a point feature instead)."""
+    from ..functions.geo import hilbert_h_to_grid_xy
+
+    g = relations_with_h.withColumn("_g", hilbert_h_to_grid_xy(F.col("h")))
+    return g.withColumn("geom_x", F.array(F.col("_g.gx"))).withColumn(
+        "geom_y", F.array(F.col("_g.gy"))
+    ).drop("_g")
+
+
 def assign_relation_h(
     relations: DataFrame,
     nodes: DataFrame,

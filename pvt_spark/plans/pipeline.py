@@ -31,21 +31,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..manifest import DEFAULT_MANIFEST, Manifest, compile_rules
-from ..operators.compose import compose_points_presorted
+from ..operators.compose import (
+    compose_points_presorted,
+    geometry_chunks,
+    merge_chunks,
+    points_chunks,
+)
 from ..operators.content import (
     render_content,
     tile_manifest,
     write_content,
     zoom_metrics_from_manifest,
 )
+from ..operators.external import external_members, external_relation_members
 from ..operators.extract import EXTRACTOR_VERSION
+from ..operators.feature_h import (
+    assign_relation_h,
+    assign_way_h,
+    relation_point_geometry,
+    way_geometry,
+)
 from ..operators.geotag import pages_to_points
 from ..operators.hilbert_sort import hilbert_sort
 from ..operators.leaves import build_leaves
 from ..operators.rules import include_tags
 from ..operators.tree import build_tile_tree
+from ..sources.ways import synthesize_relations, synthesize_ways
 
-PIPELINE_VERSION = 1
+PIPELINE_VERSION = 2
 
 
 def _parquet_file_counts(path: str) -> dict[str, int]:
@@ -70,6 +83,10 @@ class BuildConfig:
     sort_partitions: int | None = None
     salt_threshold: int = 20_000
     tags_from_url: bool = True  # synthesize feature tags from page urls
+    # mixed-build mode: derive this many ways/relations from the points
+    # (sources/ways.py) when the caller passes no way/relation tables
+    synth_ways: int = 0
+    synth_relations: int = 0
     manifest: Manifest = field(default_factory=lambda: DEFAULT_MANIFEST)
 
     def fingerprint(self) -> str:
@@ -80,6 +97,8 @@ class BuildConfig:
                 "extractor": EXTRACTOR_VERSION,
                 "leaf_zoom": self.leaf_zoom,
                 "salt_threshold": self.salt_threshold,
+                "synth_ways": self.synth_ways,
+                "synth_relations": self.synth_relations,
                 "manifest": [m.leaf_zoom, m.layer_order, sorted(m.rules)],
             },
             sort_keys=True,
@@ -161,11 +180,73 @@ def _featureize(points: DataFrame, tags_from_url: bool) -> DataFrame:
     return df
 
 
+def _layer_order(config: BuildConfig) -> list[str]:
+    return ["no_rule"] + config.manifest.layer_order
+
+
+def _points_rf(spark, content: DataFrame, compiled, config: BuildConfig) -> DataFrame:
+    """Point-content rows -> primitive-only render-features for the
+    point fast path (see compose_points_presorted input contract)."""
+    evals_df = spark.createDataFrame(
+        [(i, e[4], e[5]) for i, e in enumerate(compiled.evals)],
+        "eval_i int, include_kind string, include_keys array<string>",
+    )
+    feats = include_tags(
+        content.join(F.broadcast(evals_df), "eval_i", "left"),
+        all_tags=config.manifest.all_tags,
+    )
+    layer_order = _layer_order(config)
+    rank_args = []
+    for i, name in enumerate(layer_order):
+        rank_args.extend([F.lit(name), F.lit(i)])
+    rank_map = F.create_map(*rank_args)
+    return feats.select(
+        "zoom",
+        "tile_h",
+        "feature_id",
+        "h",
+        F.explode("layers").alias("layer"),
+        F.expr(
+            "flatten(transform(array_sort(map_entries(out_tags)),"
+            " e -> array(e.key, e.value)))"
+        ).alias("kv"),
+        F.size("out_tags").alias("n_tags"),
+        "gx",
+        "gy",
+    ).withColumn(
+        "layer_rank", F.coalesce(F.element_at(rank_map, F.col("layer")), F.lit(999))
+    )
+
+
+def _mp_rf(spark, content_mp: DataFrame, compiled, config: BuildConfig) -> DataFrame:
+    """Multi-point content rows -> render-features for geometry_chunks."""
+    evals_df = spark.createDataFrame(
+        [(i, e[4], e[5]) for i, e in enumerate(compiled.evals)],
+        "eval_i int, include_kind string, include_keys array<string>",
+    )
+    feats = include_tags(
+        content_mp.join(F.broadcast(evals_df), "eval_i", "left"),
+        all_tags=config.manifest.all_tags,
+    )
+    return feats.select(
+        "zoom",
+        "tile_h",
+        "feature_id",
+        "h",
+        F.explode("layers").alias("layer"),
+        "out_tags",
+        "geom_x",
+        "geom_y",
+    )
+
+
 def build_planet(
     spark: SparkSession,
     pages: DataFrame,
     planet_dir: str,
     config: BuildConfig | None = None,
+    ways: DataFrame | None = None,
+    relations: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full build; returns the stage DataFrames.
 
@@ -174,6 +255,16 @@ def build_planet(
     tree is a 16x-shrinking rollup; content adds one range shuffle of
     index+attr rows; tile assembly reuses content's clustering (phase 1
     shuffle-free, phase 2 shuffles only chunk rows).
+
+    Mixed builds (reference compose.rs:41-349 + leaf.rs:214-380): pass
+    ``ways(feature_id, refs array<long>, tags map)`` and/or
+    ``relations(feature_id, members array<struct<etype,ref>>, tags)``
+    — or set config.synth_ways/synth_relations to derive them from the
+    points. Way/relation h-assignment (J3/A1/A2), external leaf
+    membership (J5/J6), and line/ring geometry then flow through the
+    SAME per-tile payload merge as points: the point fast path emits
+    mergeable chunks instead of finals and one phase-2 shuffle unifies
+    node/way/relation features per tile.
     """
     config = config or BuildConfig()
     os.makedirs(planet_dir, exist_ok=True)
@@ -194,15 +285,79 @@ def build_planet(
         inputs=["pages"],
     )
 
+    # 1b. multi-point features: way/relation h-assignment + geometry
+    has_mp = ways is not None or relations is not None or config.synth_ways > 0
+    way_feats = rel_feats = external = None
+    if has_mp:
+        if ways is not None:
+            src_ways = ways
+        elif config.synth_ways > 0:
+            src_ways = synthesize_ways(points_sorted, config.synth_ways)
+        else:  # relations-only build (node-member relations)
+            src_ways = spark.createDataFrame(
+                [], "feature_id long, refs array<long>, tags map<string,string>"
+            )
+        way_feats = stage("way_features").run(
+            spark,
+            lambda: way_geometry(assign_way_h(src_ways, points_sorted), points_sorted),
+            inputs=["points_sorted"],
+        )
+        src_rels = relations
+        if src_rels is None and config.synth_relations > 0:
+            src_rels = synthesize_relations(way_feats, config.synth_relations)
+        if src_rels is not None:
+            rel_feats = stage("relation_features").run(
+                spark,
+                lambda: relation_point_geometry(
+                    assign_relation_h(src_rels, points_sorted, way_feats).where(
+                        F.col("h").isNotNull()
+                    )
+                ),
+                inputs=["points_sorted", "way_features"],
+            )
+
+        # 1c. external leaf membership (J5/J6): leaves a way/relation's
+        #     geometry enters beyond its home leaf
+        def _external() -> DataFrame:
+            ext = external_members(way_feats, points_sorted, config.leaf_zoom)
+            if rel_feats is not None:
+                ext_r = external_relation_members(
+                    rel_feats, points_sorted, way_feats, config.leaf_zoom
+                )
+                pairs = (
+                    ext.select("leaf_h", F.explode("external").alias("fid"))
+                    .unionByName(
+                        ext_r.select("leaf_h", F.explode("external").alias("fid"))
+                    )
+                    .distinct()
+                )
+                ext = pairs.groupBy("leaf_h").agg(
+                    F.sort_array(F.collect_set("fid")).alias("external")
+                )
+            return ext
+
+        external = stage("external_members").run(
+            spark, _external, inputs=["way_features", "points_sorted"]
+        )
+
     # 2. tile tree (A3 leaves + A4 rollup in one stage; the leaf level IS
-    #    the zoom==leaf_zoom slice of the tree)
-    tree = stage("tile_tree").run(
-        spark,
-        lambda: build_tile_tree(
-            build_leaves(points_sorted, config.leaf_zoom), config.leaf_zoom
-        ),
-        inputs=["points_sorted"],
-    )
+    #    the zoom==leaf_zoom slice of the tree); mixed builds pivot counts
+    #    per entity class like the reference's n/w/r leaf columns
+    def _tree() -> DataFrame:
+        if not has_mp:
+            return build_tile_tree(
+                build_leaves(points_sorted, config.leaf_zoom), config.leaf_zoom
+            )
+        ents = points_sorted.select("h", F.lit("n").alias("entity"))
+        ents = ents.unionByName(way_feats.select("h", F.lit("w").alias("entity")))
+        if rel_feats is not None:
+            ents = ents.unionByName(rel_feats.select("h", F.lit("r").alias("entity")))
+        return build_tile_tree(
+            build_leaves(ents, config.leaf_zoom, entity_col="entity"),
+            config.leaf_zoom,
+        )
+
+    tree = stage("tile_tree").run(spark, _tree, inputs=["points_sorted"])
 
     # 3. rule-filtered pyramid content (F1-F4 + A5), attrs denormalized so
     #    tile assembly needs no join; written clustered by (zoom, tile_h)
@@ -220,51 +375,69 @@ def build_planet(
         spark, _content, writer=write_content, inputs=["points_sorted"]
     )
 
+    # 3b. multi-point content: rule pyramid over way/relation features
+    #     PLUS external leaf rows (U1/F5: a leaf's tile also renders the
+    #     ways/relations whose geometry enters it from elsewhere)
+    content_mp = None
+    if has_mp:
+
+        def _content_mp() -> DataFrame:
+            feats = way_feats.select("feature_id", "h", "tags", "geom_x", "geom_y")
+            if rel_feats is not None:
+                feats = feats.unionByName(
+                    rel_feats.select("feature_id", "h", "tags", "geom_x", "geom_y")
+                )
+            c = render_content(
+                feats, config.manifest, compiled,
+                carry_cols=["tags", "geom_x", "geom_y"],
+            )
+            ext_pairs = external.select(
+                "leaf_h", F.explode("external").alias("feature_id")
+            )
+            leaf_rows = (
+                c.where(F.col("zoom") == config.leaf_zoom)
+                .drop("tile_h")
+                .join(ext_pairs, "feature_id")
+                .withColumnRenamed("leaf_h", "tile_h")
+            )
+            return c.unionByName(leaf_rows.select(*c.columns))
+
+        content_mp = stage("content_mp").run(
+            spark, _content_mp, writer=write_content,
+            inputs=["way_features", "external_members"],
+        )
+
     # 4. tile payload assembly (A6/P7/DP) on the pre-clustered content —
-    #    single-point fast path: only primitive columns cross into Python
+    #    points-only: fast path with interior-tile finals; mixed: point
+    #    chunks + geometry chunks merged in one phase 2
     def _compose() -> DataFrame:
-        evals_df = spark.createDataFrame(
-            [(i, e[4], e[5]) for i, e in enumerate(compiled.evals)],
-            "eval_i int, include_kind string, include_keys array<string>",
+        rf = _points_rf(spark, content, compiled, config)
+        if not has_mp:
+            return compose_points_presorted(rf, _layer_order(config))
+        pchunks = points_chunks(rf)
+        gchunks = geometry_chunks(
+            _mp_rf(spark, content_mp, compiled, config),
+            salt_threshold=config.salt_threshold,
         )
-        feats = include_tags(
-            content.join(F.broadcast(evals_df), "eval_i", "left"),
-            all_tags=config.manifest.all_tags,
-        )
-        layer_order = ["no_rule"] + config.manifest.layer_order
-        rank_args = []
-        for i, name in enumerate(layer_order):
-            rank_args.extend([F.lit(name), F.lit(i)])
-        rank_map = F.create_map(*rank_args)
-        rf = feats.select(
-            "zoom",
-            "tile_h",
-            "feature_id",
-            "h",
-            F.explode("layers").alias("layer"),
-            F.expr(
-                "flatten(transform(array_sort(map_entries(out_tags)),"
-                " e -> array(e.key, e.value)))"
-            ).alias("kv"),
-            F.size("out_tags").alias("n_tags"),
-            "gx",
-            "gy",
-        ).withColumn(
-            "layer_rank", F.coalesce(F.element_at(rank_map, F.col("layer")), F.lit(999))
-        )
-        return compose_points_presorted(rf, layer_order)
+        return merge_chunks(pchunks.unionByName(gchunks), _layer_order(config))
 
     tiles = stage("tiles").run(
         spark,
         _compose,
         writer=lambda df, p: df.write.mode("overwrite").partitionBy("zoom").parquet(p),
-        inputs=["content"],
+        inputs=["content"] + (["content_mp"] if has_mp else []),
     )
 
     # 5. metrics tables (S11 report analog); zoom metrics derive from the
     #    small tile manifest, not a content re-scan
+    def _manifest() -> DataFrame:
+        c = content.select("zoom", "tile_h", "feature_id")
+        if content_mp is not None:
+            c = c.unionByName(content_mp.select("zoom", "tile_h", "feature_id"))
+        return tile_manifest(c)
+
     manifest_df = stage("tile_manifest").run(
-        spark, lambda: tile_manifest(content), inputs=["content"]
+        spark, _manifest, inputs=["content"]
     )
     metrics_df = stage("zoom_metrics").run(
         spark,
@@ -272,7 +445,7 @@ def build_planet(
         inputs=["tile_manifest"],
     )
 
-    return {
+    out = {
         "points": points_sorted,
         "points_sorted": points_sorted,
         "leaves": tree.where(F.col("zoom") == config.leaf_zoom),
@@ -282,3 +455,12 @@ def build_planet(
         "tile_manifest": manifest_df,
         "zoom_metrics": metrics_df,
     }
+    if way_feats is not None:
+        out["way_features"] = way_feats
+    if rel_feats is not None:
+        out["relation_features"] = rel_feats
+    if external is not None:
+        out["external"] = external
+    if content_mp is not None:
+        out["content_mp"] = content_mp
+    return out

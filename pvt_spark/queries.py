@@ -980,6 +980,48 @@ def q28_tile_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("zoom", "tile_h")
 
 
+def q30_way_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-build compose path (rows-only): derive ways from customer
+    points (hash groups, Hilbert-ordered refs, ring/line mix), assign
+    way h (J3/A2), resolve geometry (J1), run rules + pyramid + the
+    generic salted compose — per-tile layer/feature stats."""
+    from .functions.geo import hilbert_h
+    from .manifest import DEFAULT_MANIFEST, compile_rules
+    from .operators.compose import compose_tiles
+    from .operators.content import render_content
+    from .operators.feature_h import assign_way_h, way_geometry
+    from .operators.rules import include_tags
+    from .sources.ways import synthesize_ways
+
+    pts = _synth_points(spark, sf_dir).withColumn(
+        "h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7"))
+    )
+    ways = synthesize_ways(pts, n_ways=100)
+    feats = way_geometry(assign_way_h(ways, pts), pts)
+    compiled = compile_rules(DEFAULT_MANIFEST)
+    content = render_content(
+        feats, DEFAULT_MANIFEST, compiled, carry_cols=["tags", "geom_x", "geom_y"]
+    )
+    evals_df = spark.createDataFrame(
+        [(i, e[4], e[5]) for i, e in enumerate(compiled.evals)],
+        "eval_i int, include_kind string, include_keys array<string>",
+    )
+    rf = include_tags(content.join(F.broadcast(evals_df), "eval_i", "left")).select(
+        "zoom",
+        "tile_h",
+        "feature_id",
+        "h",
+        F.explode("layers").alias("layer"),
+        "out_tags",
+        "geom_x",
+        "geom_y",
+    )
+    tiles = compose_tiles(rf, ["no_rule"] + DEFAULT_MANIFEST.layer_order, 1000)
+    return tiles.select(
+        "zoom", "tile_h", "layer_count", "feature_count"
+    ).orderBy("zoom", "tile_h")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1014,6 +1056,7 @@ REGISTRY: dict[str, tuple] = {
     "q26_hilbert_leaves": (q26_hilbert_leaves, None),
     "q27_tile_tree": (q27_tile_tree, None),
     "q28_tile_compose": (q28_tile_compose, None),
+    "q30_way_tiles": (q30_way_tiles, None),
 }
 
 
