@@ -867,9 +867,75 @@ ORDER BY vec_a, vec_b
 
 # ---------------------------------------------------------------------------
 # Engine-specific Hilbert queries. q25's oracle is pure golden constants
-# (the reference's own asserted values); the rest are rows-only checks
-# (Hilbert order-32 is not SQL-expressible) pinned by tests/ goldens.
+# (the reference's own asserted values). q26-q28 are FULLY oracle-checked:
+# the order-32 Hilbert encode is recomputed inside DuckDB as a 32-step
+# unrolled CTE chain (HUGEINT accumulator, bit-exact vs the numpy kernel
+# on random + corner coords), so the kernel AND the leaf/tree/compose
+# rollups are value-pinned on every synthetic point. Coordinates are
+# integer-derived u32 grid cells (no float projection on either side).
 # ---------------------------------------------------------------------------
+
+# synthetic u32 grid coords from integer keys (pure int math, both engines)
+_GRID_X = "({key} * 2654435761) % 4294967296"
+_GRID_Y = "({key} * 2246822519) % 4294967296"
+
+
+def _duck_hilbert_ctes(pts_sql: str) -> tuple[str, str]:
+    """Order-32 Hilbert encode (Skilling/Wikipedia xy2d, fast_hilbert
+    parity — same loop as pvt_spark.hilbert.xy2h) as DuckDB CTEs.
+
+    ``pts_sql`` selects (feature_id, x, y) with x, y in [0, 2^32).
+    Returns (cte_block, last_cte_name); the last CTE exposes
+    (feature_id, d HUGEINT) with d = the u64 curve position. The flip
+    step masks to bits below s (only those are consulted later), which
+    reproduces numpy's C-style unsigned wrap without negative values.
+    """
+    lines = [
+        "it32 AS (SELECT feature_id, CAST(x AS BIGINT) AS x, "
+        f"CAST(y AS BIGINT) AS y, CAST(0 AS HUGEINT) AS d FROM ({pts_sql}))"
+    ]
+    prev = "it32"
+    for i in range(31, -1, -1):
+        s = 1 << i
+        sm = s - 1
+        ss = s * s
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        cur = f"it{i}"
+        lines.append(
+            f"{cur} AS (SELECT feature_id, "
+            f"d + CAST({ss} AS HUGEINT) * xor(3*{rx}, {ry}) AS d, "
+            f"CASE WHEN {ry}=0 THEN (CASE WHEN {rx}=1 THEN {sm}-(y & {sm}) ELSE y END) ELSE x END AS x, "
+            f"CASE WHEN {ry}=0 THEN (CASE WHEN {rx}=1 THEN {sm}-(x & {sm}) ELSE x END) ELSE y END AS y "
+            f"FROM {prev})"
+        )
+        prev = cur
+    return ",\n".join(lines), prev
+
+
+_BIAS_HUGE = "CAST('9223372036854775808' AS HUGEINT)"
+
+
+def _grid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> (feature_id, x, y u32-grid, h) via the engine kernel."""
+    from .functions.geo import xy_to_hilbert_h
+
+    (cust,) = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("feature_id"),
+        F.expr(_GRID_X.format(key="c_custkey")).alias("x"),
+        F.expr(_GRID_Y.format(key="c_custkey")).alias("y"),
+    )
+    return pts.withColumn("h", xy_to_hilbert_h(F.col("x"), F.col("y")))
+
+
+_Q26_PTS = (
+    "SELECT c_custkey AS feature_id, "
+    + _GRID_X.format(key="c_custkey")
+    + " AS x, "
+    + _GRID_Y.format(key="c_custkey")
+    + " AS y FROM customer"
+)
 
 
 def q25_hilbert_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,36 +969,86 @@ SELECT * FROM (VALUES
 
 
 def q26_hilbert_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 on the real Hilbert key over customer-derived points (rows-only:
-    tile ids require the order-32 kernel)."""
-    from .functions.geo import hilbert_h
+    """A3 on the real Hilbert key over customer-derived grid points;
+    value-pinned by the DuckDB unrolled-Hilbert oracle."""
     from .operators.leaves import build_leaves
 
-    pts = _synth_points(spark, sf_dir).withColumn(
-        "h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7"))
-    )
-    return build_leaves(pts, leaf_zoom=12).orderBy("leaf_h")
+    return build_leaves(_grid_points(spark, sf_dir), leaf_zoom=12).orderBy("leaf_h")
+
+
+def _q26_sql() -> str:
+    ctes, last = _duck_hilbert_ctes(_Q26_PTS)
+    return f"""
+WITH {ctes}
+SELECT CAST(d // 1099511627776 AS BIGINT) AS leaf_h,
+       count(*) AS n_count,
+       CAST(min(d - {_BIAS_HUGE}) AS BIGINT) AS h_min,
+       CAST(max(d - {_BIAS_HUGE}) AS BIGINT) AS h_max
+FROM {last} GROUP BY leaf_h ORDER BY leaf_h
+"""
+
+
+Q26_SQL = _q26_sql()
 
 
 def q27_tile_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 full even-zoom tree over the same points (rows-only)."""
-    from .functions.geo import hilbert_h
+    """A4 full even-zoom tree over the same grid points; the bit_or/shift
+    rollup AND the kernel are value-pinned by the oracle."""
     from .operators.leaves import build_leaves
     from .operators.tree import build_tile_tree
 
-    pts = _synth_points(spark, sf_dir).withColumn(
-        "h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7"))
+    tree = build_tile_tree(
+        build_leaves(_grid_points(spark, sf_dir), leaf_zoom=12), leaf_zoom=12
     )
-    tree = build_tile_tree(build_leaves(pts, leaf_zoom=12), leaf_zoom=12)
     return tree.select(
         "zoom", "tile_h", "child_mask", "n_count", "leaf_count"
     ).orderBy("zoom", "tile_h")
 
 
+def _q27_sql() -> str:
+    ctes, last = _duck_hilbert_ctes(_Q26_PTS)
+    lvl = [
+        "lvl12 AS (SELECT CAST(d // 1099511627776 AS BIGINT) AS tile_h, "
+        f"count(*) AS n_count FROM {last} GROUP BY tile_h)"
+    ]
+    sel = [
+        "SELECT CAST(12 AS INT) AS zoom, tile_h, CAST(0 AS INT) AS child_mask, "
+        "n_count, CAST(1 AS BIGINT) AS leaf_count FROM lvl12"
+    ]
+    prev_counts = "SELECT tile_h, n_count, CAST(1 AS BIGINT) AS leaf_count FROM lvl12"
+    prev = "lvl12c"
+    lvl.append(f"lvl12c AS ({prev_counts})")
+    for z in range(10, -1, -2):
+        cur = f"lvl{z}c"
+        lvl.append(
+            f"{cur} AS (SELECT tile_h // 16 AS tile_h, "
+            f"CAST(bit_or(1 << CAST(tile_h & 15 AS INT)) AS INT) AS child_mask, "
+            f"CAST(sum(n_count) AS BIGINT) AS n_count, "
+            f"CAST(sum(leaf_count) AS BIGINT) AS leaf_count "
+            f"FROM {prev} GROUP BY tile_h // 16)"
+        )
+        sel.append(
+            f"SELECT CAST({z} AS INT) AS zoom, tile_h, child_mask, n_count, "
+            f"leaf_count FROM {cur}"
+        )
+        prev = cur
+    return (
+        f"WITH {ctes},\n" + ",\n".join(lvl) + "\n"
+        + " UNION ALL ".join(f"({s})" for s in sel)
+        + " ORDER BY zoom, tile_h"
+    )
+
+
+Q27_SQL = _q27_sql()
+
+
 def q28_tile_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full compose path over supplier-derived tagged points (rows-only):
-    rule filter -> pyramid -> salted assembly -> payload stats."""
-    from .functions.geo import grid_x, grid_y, hilbert_h
+    """Full compose path over supplier-derived tagged grid points: rule
+    filter -> pyramid explode -> salted assembly -> per-tile stats.
+    Value-pinned: the oracle mirrors the rule winners (Tag > Value > Key
+    precedence on these single-tag features), the even-zoom explode and
+    the Hilbert tile assignment in SQL (payload bytes excluded)."""
+    from .functions.geo import xy_to_hilbert_h
     from .manifest import DEFAULT_MANIFEST, compile_rules
     from .operators.compose import compose_tiles
     from .operators.content import render_content
@@ -949,21 +1065,19 @@ def q28_tile_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = supp.select(
         F.col("s_suppkey").alias("feature_id"),
-        F.expr(_SYNTH_LON.replace("c_custkey", "s_suppkey")).alias("lon_dm7"),
-        F.expr(_SYNTH_LAT.replace("c_custkey", "s_suppkey")).alias("lat_dm7"),
+        F.expr(_GRID_X.format(key="s_suppkey")).alias("gx"),
+        F.expr(_GRID_Y.format(key="s_suppkey")).alias("gy"),
         F.map_from_arrays(F.array(kv), F.array(vv)).alias("tags"),
-    ).withColumn("h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7")))
+    ).withColumn("h", xy_to_hilbert_h(F.col("gx"), F.col("gy")))
     compiled = compile_rules(DEFAULT_MANIFEST)
-    content = render_content(pts, DEFAULT_MANIFEST, compiled)
-    feats = content.join(pts.select("feature_id", "tags", "lon_dm7", "lat_dm7"), "feature_id")
-    feats = feats.withColumn("gx", grid_x(F.col("lon_dm7"))).withColumn(
-        "gy", grid_y(F.col("lat_dm7"))
+    content = render_content(
+        pts, DEFAULT_MANIFEST, compiled, carry_cols=["tags", "gx", "gy"]
     )
     evals_df = spark.createDataFrame(
         [(i, e[4], e[5]) for i, e in enumerate(compiled.evals)],
         "eval_i int, include_kind string, include_keys array<string>",
     )
-    feats = include_tags(feats.join(F.broadcast(evals_df), "eval_i", "left"))
+    feats = include_tags(content.join(F.broadcast(evals_df), "eval_i", "left"))
     rf = feats.select(
         "zoom",
         "tile_h",
@@ -976,8 +1090,48 @@ def q28_tile_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = compose_tiles(rf, ["no_rule"] + DEFAULT_MANIFEST.layer_order, 1000)
     return tiles.select(
-        "zoom", "tile_h", "layer_count", "feature_count", "payload_size"
+        "zoom", "tile_h", "layer_count", "feature_count"
     ).orderBy("zoom", "tile_h")
+
+
+def _q28_sql() -> str:
+    # rule winners for the 7 single-tag kinds (Tag > Value > Key):
+    # k=0 place->place(4), 1 amenity->amenity(10), 2 (highway,primary)->
+    # value match highway_major(6), 3 building->building(12), 4 shop->
+    # shop(10), 5 natural->natural(8), 6 (power,pole)->tag match power(12)
+    minzooms = [4, 10, 6, 12, 10, 8, 12]
+    layers = ["Places", "Places", "Roads", "Buildings", "Buildings", "Nature", "Power"]
+    pts = (
+        "SELECT s_suppkey AS feature_id, "
+        + _GRID_X.format(key="s_suppkey")
+        + " AS x, "
+        + _GRID_Y.format(key="s_suppkey")
+        + " AS y FROM supplier"
+    )
+    ctes, last = _duck_hilbert_ctes(pts)
+    mz = " ".join(
+        f"WHEN {k} THEN {z}" for k, z in enumerate(minzooms)
+    )
+    ly = " ".join(f"WHEN {k} THEN '{v}'" for k, v in enumerate(layers))
+    return f"""
+WITH {ctes},
+feat AS (
+  SELECT h.feature_id, h.d,
+         CASE (h.feature_id % 7) {mz} END AS minzoom,
+         CASE (h.feature_id % 7) {ly} END AS layer
+  FROM {last} h),
+expanded AS (
+  SELECT feature_id, d, layer, unnest(generate_series(minzoom, 12, 2)) AS zoom
+  FROM feat)
+SELECT CAST(zoom AS INT) AS zoom,
+       CAST(d // (CASE zoom {" ".join(f"WHEN {z} THEN CAST('{1 << (2 * (32 - z))}' AS HUGEINT)" for z in range(4, 13, 2))} END) AS BIGINT) AS tile_h,
+       CAST(count(DISTINCT layer) AS INT) AS layer_count,
+       count(*) AS feature_count
+FROM expanded GROUP BY zoom, tile_h ORDER BY zoom, tile_h
+"""
+
+
+Q28_SQL = _q28_sql()
 
 
 def q30_way_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,9 +1207,9 @@ REGISTRY: dict[str, tuple] = {
     "q24_centroid_assign": (q24_centroid_assign, Q24_SQL),
     "q29_embedding_neardup": (q29_embedding_neardup, Q29_SQL),
     "q25_hilbert_goldens": (q25_hilbert_goldens, Q25_SQL),
-    "q26_hilbert_leaves": (q26_hilbert_leaves, None),
-    "q27_tile_tree": (q27_tile_tree, None),
-    "q28_tile_compose": (q28_tile_compose, None),
+    "q26_hilbert_leaves": (q26_hilbert_leaves, Q26_SQL),
+    "q27_tile_tree": (q27_tile_tree, Q27_SQL),
+    "q28_tile_compose": (q28_tile_compose, Q28_SQL),
     "q30_way_tiles": (q30_way_tiles, None),
 }
 
