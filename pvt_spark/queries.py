@@ -580,12 +580,27 @@ _SHINGLES_DUCK = (
 )
 
 
+# document-frequency cap: shingles appearing in more docs are dropped
+# BEFORE the self-join (standard df-capping) — one hot shingle ("of the
+# and") would otherwise explode the join quadratically at corpus scale.
+# Jaccard is computed over the capped shingle universe on BOTH sides.
+_Q19_DF_CAP = 50
+
+
 def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard >= 0.5, exact milli units."""
+    """Near-dup pairs by word-3-gram Jaccard >= 0.5 over df-capped
+    shingles, exact milli units."""
     (docs,) = load(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh_all = docs.select(
         "doc_id", F.explode(F.expr(_shingles_expr_spark())).alias("shingle")
     )
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _Q19_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh_all.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     pairs = (
         sh.alias("a")
@@ -605,8 +620,11 @@ def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_SQL = f"""
-WITH sh AS (
+WITH sh_all AS (
   SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+rare AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= {_Q19_DF_CAP}),
+sh AS (SELECT doc_id, sh_all.shingle FROM sh_all JOIN rare USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -809,22 +827,81 @@ SELECT vec_id, centroid_id, d2 FROM ranked WHERE rn = 1 ORDER BY vec_id
 
 
 
+# hyperplane-LSH for embedding near-dup: 16 deterministic +-1
+# hyperplanes (md5-derived per (plane, dim) — same literals inlined in
+# both engines), 4 bands x 4 planes. Candidate pairs share at least one
+# band bucket (equi-join, no cartesian); the exact cosine test then
+# filters them. Semantics: LSH-candidate AND cos >= 0.95, mirrored in
+# the oracle — a true near-dup pair missing every band is excluded on
+# both sides (standard LSH recall tradeoff, documented).
+_Q29_DIM = 64
+_Q29_PLANES = 16
+_Q29_BANDS = 4
+
+
+def _q29_coefs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for i in range(_Q29_DIM)
+        ]
+        for p in range(_Q29_PLANES)
+    ]
+
+
 def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: exact integer dot products;
-    cos >= 0.95 tested as dot^2 >= 0.25*|a|^2*|b|^2 (doubles derived
-    deterministically from exact ints)."""
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH bands +
+    exact integer verification (cos >= 0.95 as dot^2 >= 0.25*|a|^2*|b|^2)."""
+    from functools import reduce
+
     (emb,) = load(spark, sf_dir, "embeddings")
     q = "transform(embedding, e -> cast(round(e * 10000) as bigint))"
-    dotq = "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     quant = emb.select("vec_id", F.expr(q).alias("qv")).withColumn(
         "n2", F.expr("aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)")
     )
-    pairs = (
-        quant.alias("a")
-        .join(quant.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+    coefs = _q29_coefs()
+    signs = []
+    for p, cs in enumerate(coefs):
+        arr = ", ".join(str(c) for c in cs)
+        signs.append(
+            F.expr(
+                f"CASE WHEN aggregate(zip_with(qv, array({arr}), (x, c) -> x * c), "
+                f"0L, (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END"
+            ).alias(f"s{p}")
+        )
+    signed = quant.select("vec_id", "qv", "n2", *signs)
+    per_plane = _Q29_PLANES // _Q29_BANDS
+    bands = []
+    for b in range(_Q29_BANDS):
+        bucket = sum(
+            F.col(f"s{b * per_plane + j}") * (1 << j) for j in range(per_plane)
+        )
+        bands.append(
+            signed.select("vec_id", F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    allb = reduce(DataFrame.unionByName, bands)
+    cand = (
+        allb.alias("x")
+        .join(
+            allb.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    dotq = "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    pairs = (
+        cand.join(quant.alias("a"), F.col("vec_a") == F.col("a.vec_id"))
+        .join(quant.alias("b"), F.col("vec_b") == F.col("b.vec_id"))
+        .select(
+            "vec_a",
+            "vec_b",
             F.expr(dotq).alias("dot"),
             F.col("a.n2").alias("na"),
             F.col("b.n2").alias("nb"),
@@ -843,7 +920,25 @@ def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q29_SQL = """
+def _q29_sql() -> str:
+    coefs = _q29_coefs()
+    per_plane = _Q29_PLANES // _Q29_BANDS
+    sign_cols = []
+    for p, cs in enumerate(coefs):
+        arr = ", ".join(str(c) for c in cs)
+        sign_cols.append(
+            f"CASE WHEN list_sum(list_transform(range(1, {_Q29_DIM} + 1), "
+            f"i -> qv[i] * ([{arr}])[i])) >= 0 THEN 1 ELSE 0 END AS s{p}"
+        )
+    band_rows = []
+    for b in range(_Q29_BANDS):
+        bucket = " + ".join(
+            f"s{b * per_plane + j} * {1 << j}" for j in range(per_plane)
+        )
+        band_rows.append(
+            f"SELECT vec_id, {b} AS band, {bucket} AS bucket FROM signed"
+        )
+    return f"""
 WITH quant AS (
   SELECT vec_id,
          list_transform(embedding, e -> cast(round(e * 10000) AS BIGINT)) AS qv
@@ -852,17 +947,27 @@ normed AS (
   SELECT vec_id, qv,
          cast(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
   FROM quant),
+signed AS (
+  SELECT vec_id, {", ".join(sign_cols)} FROM normed),
+bands AS ({" UNION ALL ".join(band_rows)}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         cast(list_sum(list_transform(range(1, len(a.qv) + 1),
+  SELECT vec_a, vec_b,
+         cast(list_sum(list_transform(range(1, {_Q29_DIM} + 1),
               i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
          a.n2 AS na, b.n2 AS nb
-  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+  FROM cand JOIN normed a ON vec_a = a.vec_id JOIN normed b ON vec_b = b.vec_id)
 SELECT vec_a, vec_b, dot FROM pairs
 WHERE dot > 0
   AND cast(dot AS DOUBLE) * cast(dot AS DOUBLE) >= 0.25 * cast(na AS DOUBLE) * cast(nb AS DOUBLE)
 ORDER BY vec_a, vec_b
 """
+
+
+Q29_SQL = _q29_sql()
 
 
 # ---------------------------------------------------------------------------
