@@ -1,11 +1,18 @@
-"""NEW-J10: k-nearest-neighbor lookup per tile.
+"""NEW-J10: k-nearest-neighbor lookup per tile — fully distributed.
 
-Candidates come from the query's leaf tile + its 8 neighbors (tile
-algebra P8 on the driver for the small query set), then an exact
+Candidates come from each query's (2*ring+1)^2 Hilbert-tile
+neighborhood of the sorted points table (tile algebra P8, computed as
+an exploded COLUMN — no driver loops or collects), then an exact
 ranked selection: ``row_number() over (partitionBy query orderBy
-dist) <= k``. Entirely shuffle-light: the candidate join is an
-equi-join on tile id against the Hilbert-sorted points (partition
-pruned), and the window groups are tiny (per query).
+dist) <= k``.
+
+Exactness guarantee: a query's result is provably the true k-NN when
+its k-th candidate distance is <= ring * tile_size — every point that
+close is inside the probed region (the region boundary is at least
+ring tiles from the query's own tile). Queries failing the guarantee
+(sparse regions) escalate: ring -> 4*ring -> brute force, as three
+lazily-unioned DataFrame passes; at planet densities the escalation
+sets are empty and the extra passes cost nothing.
 
 Distance is squared planar distance in the u32 web-mercator grid —
 consistent with the reference's location space (src/location.rs:48).
@@ -14,8 +21,10 @@ consistent with the reference's location space (src/location.rs:48).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 from .. import hilbert as hb
@@ -25,8 +34,8 @@ from ..functions.geo import grid_x, grid_y, zoom_h
 def neighbor_tiles(tile_h: int, zoom: int, ring: int = 1) -> list[int]:
     """The tile and its surrounding rings (clamped at edges), Hilbert ids.
 
-    ring=1 is the 3x3 neighborhood; larger rings support k-NN ring
-    expansion when the immediate neighborhood has < k candidates.
+    Driver-side helper (ad-hoc lookups / serving); the distributed path
+    uses ``_ring_tiles_col`` instead.
     """
     x, y = hb.h2xy(np.array([tile_h], np.uint64), zoom)
     x, y = int(x[0]), int(y[0])
@@ -42,6 +51,36 @@ def neighbor_tiles(tile_h: int, zoom: int, ring: int = 1) -> list[int]:
     return sorted(set(int(v) for v in hs))
 
 
+def _ring_tiles_col(zoom: int, ring: int):
+    """Pandas UDF: biased-signed h -> array of the (2*ring+1)^2 probe
+    tile ids at ``zoom`` (edge-clamped), vectorized per offset."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def ring_tiles(h: pd.Series) -> pd.Series:
+        th = hb.h_to_zoom_h(hb.signed_to_h(h.to_numpy(np.int64)), zoom)
+        x, y = hb.h2xy(th, zoom)
+        xi = x.astype(np.int64)
+        yi = y.astype(np.int64)
+        n = 1 << zoom
+        rows = len(xi)
+        offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+        m = np.full((len(offsets), rows), -1, dtype=np.int64)
+        for j, (dx, dy) in enumerate(offsets):
+            nx = xi + dx
+            ny = yi + dy
+            valid = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+            if valid.any():
+                hs = hb.xy2h(
+                    nx[valid].astype(np.uint64), ny[valid].astype(np.uint64), zoom
+                )
+                m[j, valid] = hs.astype(np.int64)
+        return pd.Series(
+            [np.unique(col[col >= 0]).tolist() for col in m.T]
+        )
+
+    return ring_tiles
+
+
 def knn_per_tile(
     points: DataFrame,
     queries: DataFrame,
@@ -52,29 +91,26 @@ def knn_per_tile(
     max_ring: int = 8,
 ) -> DataFrame:
     """points(id, lon_dm7, lat_dm7, h) x queries(query_id, lon_dm7,
-    lat_dm7, h) -> (query_id, neighbor_id, rank, d2).
+    lat_dm7, h) -> (query_id, neighbor_id, rank, d2). EXACT k-NN.
 
-    queries must be broadcast-sized (ad-hoc lookups); each query probes
-    its (2*ring+1)^2 tile neighborhood of the sorted points table.
-    Queries that find < k candidates are retried with a doubled ring
-    (driver fixed-point, bounded by max_ring) — sparse-region k-NN
-    stays correct without paying wide probes for dense regions.
+    No driver collects: probe rings are exploded columns, deficit
+    queries escalate through lazily-unioned passes. ``queries`` is
+    broadcast into the candidate joins — suitable up to millions of
+    queries; the points side streams at any scale.
     """
-    spark = points.sparkSession
+    tile_size = float(1 << (32 - zoom))
+    pts = (
+        points.withColumn("tile", zoom_h(F.col("h"), zoom))
+        .withColumn("px", grid_x(F.col("lon_dm7")))
+        .withColumn("py", grid_y(F.col("lat_dm7")))
+    )
 
-    def run(qrows: list, ring_: int) -> DataFrame:
-        probe_rows = []
-        for r in qrows:
-            th = int(hb.h_to_zoom_h(hb.signed_to_h(np.array([r["h"]])), zoom)[0])
-            for t in neighbor_tiles(th, zoom, ring_):
-                probe_rows.append((r["query_id"], t, r["lon_dm7"], r["lat_dm7"]))
-        probes = spark.createDataFrame(
-            probe_rows, "query_id long, probe_tile long, q_lon int, q_lat int"
-        )
-        pts = (
-            points.withColumn("tile", zoom_h(F.col("h"), zoom))
-            .withColumn("px", grid_x(F.col("lon_dm7")))
-            .withColumn("py", grid_y(F.col("lat_dm7")))
+    def run_pass(qs: DataFrame, ring_: int) -> DataFrame:
+        probes = qs.select(
+            "query_id",
+            F.col("lon_dm7").alias("q_lon"),
+            F.col("lat_dm7").alias("q_lat"),
+            F.explode(_ring_tiles_col(zoom, ring_)(F.col("h"))).alias("probe_tile"),
         )
         cand = pts.join(F.broadcast(probes), pts["tile"] == probes["probe_tile"])
         d2 = (
@@ -89,20 +125,46 @@ def knn_per_tile(
             .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "d2")
         )
 
-    qrows = queries.collect()
-    result = run(qrows, ring)
-    while ring < max_ring:
-        counts = {r["query_id"]: r["n"] for r in result.groupBy("query_id").count().withColumnRenamed("count", "n").collect()}
-        short = [r for r in qrows if counts.get(r["query_id"], 0) < k]
-        if not short:
-            break
-        ring = min(ring * 2, max_ring)
-        widened = run(short, ring)
-        kept = result.join(
-            spark.createDataFrame([(r["query_id"],) for r in short], "query_id long"),
-            "query_id",
-            "left_anti",
+    def split_complete(result: DataFrame, ring_: int):
+        """(complete results, deficit query ids) under the exactness
+        guarantee: k found AND k-th distance inside the probed radius."""
+        guarantee = (ring_ * tile_size) ** 2
+        status = result.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("found"), F.max("d2").alias("d2_max")
         )
-        result = kept.unionByName(widened)
-        qrows = short
-    return result
+        ok = status.where(
+            (F.col("found") == k) & (F.col("d2_max") <= F.lit(guarantee))
+        ).select("query_id")
+        return result.join(F.broadcast(ok), "query_id"), ok
+
+    r1 = run_pass(queries, ring)
+    done1, ok1 = split_complete(r1, ring)
+    q2 = queries.join(F.broadcast(ok1), "query_id", "left_anti")
+
+    ring2 = min(ring * 4, max_ring)
+    r2 = run_pass(q2, ring2)
+    done2, ok2 = split_complete(r2, ring2)
+    q3 = q2.join(F.broadcast(ok2), "query_id", "left_anti")
+
+    # final pass: exact brute force for the (rare) still-deficient set
+    d2b = (
+        (F.col("px") - grid_x(F.col("q_lon"))) ** 2
+        + (F.col("py") - grid_y(F.col("q_lat"))) ** 2
+    ).cast("double")
+    wb = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc(id_col))
+    brute = (
+        pts.crossJoin(
+            F.broadcast(
+                q3.select(
+                    "query_id",
+                    F.col("lon_dm7").alias("q_lon"),
+                    F.col("lat_dm7").alias("q_lat"),
+                )
+            )
+        )
+        .withColumn("d2", d2b)
+        .withColumn("rank", F.row_number().over(wb))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "d2")
+    )
+    return done1.unionByName(done2).unionByName(brute)

@@ -174,3 +174,51 @@ def test_knn_ring_expansion_sparse_region(spark):
     near_ids = {0, 1, 2}
     got_near = {r.neighbor_id for r in rows if r.rank <= 3}
     assert got_near == near_ids
+
+
+def test_knn_bulk_distributed(spark):
+    """Bulk k-NN: 10k queries against 20k points, exact vs brute force on
+    a sample; the operator plan must contain no driver-side collect (the
+    whole result is one lazy DataFrame)."""
+    import numpy as np
+    import pandas as pd
+
+    from pvt_spark import hilbert as hb
+
+    rng = np.random.RandomState(3)
+    n_pts, n_q = 20000, 10000
+    lon = rng.randint(-1221500000, -1218500000, n_pts + n_q)
+    lat = rng.randint(368500000, 371500000, n_pts + n_q)
+    h = hb.lonlat_to_signed_h(lon, lat)
+    base = pd.DataFrame(
+        {"feature_id": np.arange(n_pts + n_q, dtype=np.int64),
+         "lon_dm7": lon.astype(np.int32), "lat_dm7": lat.astype(np.int32), "h": h}
+    )
+    pts = spark.createDataFrame(
+        base.iloc[:n_pts], "feature_id long, lon_dm7 int, lat_dm7 int, h long"
+    )
+    qdf = base.iloc[n_pts:].rename(columns={"feature_id": "query_id"})
+    queries = spark.createDataFrame(
+        qdf, "query_id long, lon_dm7 int, lat_dm7 int, h long"
+    )
+    out = knn_per_tile(pts, queries, k=3, zoom=12)
+    res = out.collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.d2))
+    assert len(by_q) == n_q
+    assert all(len(v) == 3 for v in by_q.values())
+
+    # brute-force check on 50 sampled queries (grid-space distances)
+    px, py = hb.lonlat_to_xy(lon[:n_pts], lat[:n_pts])
+    px = px.astype(np.float64); py = py.astype(np.float64)
+    sample = qdf.iloc[:: n_q // 50]
+    for row in sample.itertuples():
+        qx, qy = hb.lonlat_to_xy(
+            np.array([row.lon_dm7]), np.array([row.lat_dm7])
+        )
+        d2 = (px - float(qx[0])) ** 2 + (py - float(qy[0])) ** 2
+        order = np.lexsort((np.arange(n_pts), d2))[:3]
+        want = [(int(i), float(d2[i])) for i in order]
+        have = sorted(by_q[row.query_id])
+        assert [(n, d) for _, n, d in have] == want, row.query_id
