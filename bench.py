@@ -101,6 +101,47 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+
+        # PIP vs a 20k-vertex jagged polygon (coastline-country analog):
+        # exercises the edge-chunked ray-cast + scanline cover at the
+        # vertex counts real admin polygons have
+        import numpy as np
+
+        from pvt_spark.operators.pip import point_in_polygon_join
+        from pvt_spark.queries import _grid_points
+
+        nv = 20_000
+        ang = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+        rad = np.where(np.arange(nv) % 2 == 0, 60.0, 35.0) * 1e7 / 10  # jagged star
+        plon = (rad * np.cos(ang)).astype(np.int64)
+        plat = (rad * 0.5 * np.sin(ang)).astype(np.int64)
+        ring = [(int(a), int(b)) for a, b in zip(plon, plat)]
+        ring.append(ring[0])
+        polys = spark.createDataFrame(
+            [(0, "star", [ring])],
+            "admin_id long, name string, "
+            "rings array<array<struct<lon_dm7:int, lat_dm7:int>>>",
+        )
+        from pvt_spark.functions.geo import hilbert_h
+        from pyspark.sql import functions as F
+
+        pts = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select(
+                F.col("c_custkey").alias("feature_id"),
+                F.expr(
+                    "((c_custkey * 2654435761) % 3600000000 + 3600000000) % 3600000000 - 1800000000"
+                ).cast("int").alias("lon_dm7"),
+                F.expr(
+                    "((c_custkey * 2246822519) % 1700000000 + 1700000000) % 1700000000 - 850000000"
+                ).cast("int").alias("lat_dm7"),
+            )
+            .withColumn("h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7")))
+        )
+        t0 = time.time()
+        n_in = point_in_polygon_join(pts, polys, cover_zoom=8).count()
+        timings["pip_20k_vertex"] = round(time.time() - t0, 3)
+        timings["pip_20k_vertex_matches"] = n_in
         spark.stop()
 
         if os.environ.get("PVT_BENCH_SCALING") == "1":
