@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..tile import Tile
+from ..tile import Tile, hilbert_bearing
 
 BOUNDARY = [(0, 0), (8191, 0), (8191, 8191), (0, 8191), (0, 0)]
 
@@ -62,6 +62,31 @@ def info_features(
                 [int(cy)],
             )
         )
+        # Hilbert-bearing arrow (P9, reference src/info.rs:29-275 +
+        # src/tile.rs:336-420): polyline entry-edge midpoint -> center
+        # -> exit-edge midpoint showing how the curve crosses the tile
+        bearing = hilbert_bearing(pt)
+        if bearing is not None:
+            edge_mid = {
+                "N": (cx, oy),
+                "S": (cx, sy),
+                "W": (ox, cy),
+                "E": (sx, cy),
+            }
+            ex, ey = edge_mid[bearing[0]]
+            xx, xy = edge_mid[bearing[1]]
+            rows.append(
+                (
+                    t.z,
+                    t.h,
+                    pt.id() + 2,
+                    0,
+                    "tile_bearing",
+                    {"zoom": str(pt.z), "h": str(pt.h), "bearing": bearing},
+                    [int(ex), int(cx), int(xx)],
+                    [int(ey), int(cy), int(xy)],
+                )
+            )
     return spark.createDataFrame(
         rows,
         "zoom int, tile_h long, feature_id long, h long, layer string, "

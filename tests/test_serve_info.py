@@ -32,13 +32,29 @@ def test_features_in_tile_range_lookup(spark):
 
 def test_info_source_composes_with_boundary_clamp(spark):
     info = info_features(spark, 12, 659, 1593, grandchild_levels=0)
-    tiles = compose_tiles(info, ["tile_boundary", "tile_center"], 1000)
+    tiles = compose_tiles(
+        info, ["tile_boundary", "tile_center", "tile_bearing"], 1000
+    )
     t = Tile.from_zxy(12, 659, 1593)
     row = tile_lookup(tiles, 12, t.x, t.y).collect()
     assert len(row) == 1
     decoded = decode_tile(bytes(row[0].payload))
     names = [l["name"] for l in decoded["layers"]]
-    assert names == ["tile_boundary", "tile_center"]
+    assert names == ["tile_boundary", "tile_center", "tile_bearing"]
+    # bearing layer (reference src/info.rs Bearing + src/tile.rs:336-420):
+    # 3-point arrow entry-midpoint -> center -> exit-midpoint, tagged
+    from pvt_spark.tile import _BEARINGS
+
+    bear = next(l for l in decoded["layers"] if l["name"] == "tile_bearing")
+    assert bear["features"], "bearing arrow present"
+    for f in bear["features"]:
+        tags = dict(zip(f["keys"], f["values"]))
+        assert tags["bearing"] in _BEARINGS
+        assert {"zoom", "h", "bearing"} <= set(tags)
+        gx, gy = f["geoms"][0]
+        # straight-through bearings (e.g. WE) are collinear, so DP
+        # collapses the 3-point arrow to its 2 endpoints
+        assert len(gx) in (2, 3)
     bnd = next(l for l in decoded["layers"] if l["name"] == "tile_boundary")
     own = [
         f
