@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -43,9 +44,15 @@ def _build_once(master: str, n_pages: int, tmp_root: str) -> dict:
         synthesize_pages(spark, n_pages, seed=42).write.mode("overwrite").parquet(pages_path)
     pages = spark.read.parquet(pages_path)
     t0 = time.time()
-    out = build_planet(spark, pages, planet, BuildConfig(leaf_zoom=12))
-    n_tiles = out["tiles"].count()
-    n_points = out["points"].count()
+    build_planet(spark, pages, planet, BuildConfig(leaf_zoom=12))
+    # stage row counts come from the lineage sidecars (parquet-footer
+    # sums written at commit time) — no extra Spark jobs in the timing
+    def _rows(name: str) -> int:
+        with open(os.path.join(planet, name, "_lineage.json")) as f:
+            return json.load(f)["row_count"]
+
+    n_tiles = _rows("tiles")
+    n_points = _rows("points_sorted")
     wall = time.time() - t0
     spark.stop()
     return {
@@ -145,12 +152,18 @@ def main() -> None:
         spark.stop()
 
         if os.environ.get("PVT_BENCH_SCALING") == "1":
-            lo = _build_once("local[8]", n_pages, tmp_root)
-            hi = _build_once("local[32]", n_pages, tmp_root)
-            eff = (lo["wall_sec"] * 8) / (hi["wall_sec"] * 32)
-            timings["scaling_pages_per_sec_8"] = round(lo["pages_per_sec"], 1)
-            timings["scaling_pages_per_sec_32"] = round(hi["pages_per_sec"], 1)
-            timings["scaling_efficiency_8_to_32"] = round(eff, 3)
+            # north-rule N->4N protocol (pinned, fresh subprocesses):
+            # see scripts/scaling_bench.py + BENCH/BASELINE.md
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                              "scripts", "scaling_bench.py"),
+                 "--pages", str(n_pages), "--low", "1", "--high", "4"],
+                capture_output=True, text=True, check=True,
+            )
+            sc = json.loads(out.stdout.strip().splitlines()[-1])
+            timings["scaling_pages_per_sec_1"] = sc["pages_per_sec_low"]
+            timings["scaling_pages_per_sec_4"] = sc["pages_per_sec_high"]
+            timings["scaling_efficiency_1_to_4"] = sc["efficiency"]
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)
 

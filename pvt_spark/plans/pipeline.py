@@ -357,8 +357,6 @@ def build_planet(
             config.leaf_zoom,
         )
 
-    tree = stage("tile_tree").run(spark, _tree, inputs=["points_sorted"])
-
     # 3. rule-filtered pyramid content (F1-F4 + A5), attrs denormalized so
     #    tile assembly needs no join; written clustered by (zoom, tile_h)
     from ..functions.geo import grid_x, grid_y
@@ -371,41 +369,56 @@ def build_planet(
             pts, config.manifest, compiled, carry_cols=["tags", "gx", "gy"]
         )
 
-    content = stage("content").run(
-        spark, _content, writer=write_content, inputs=["points_sorted"]
-    )
-
     # 3b. multi-point content: rule pyramid over way/relation features
     #     PLUS external leaf rows (U1/F5: a leaf's tile also renders the
     #     ways/relations whose geometry enters it from elsewhere)
-    content_mp = None
-    if has_mp:
-
-        def _content_mp() -> DataFrame:
-            feats = way_feats.select("feature_id", "h", "tags", "geom_x", "geom_y")
-            if rel_feats is not None:
-                feats = feats.unionByName(
-                    rel_feats.select("feature_id", "h", "tags", "geom_x", "geom_y")
-                )
-            c = render_content(
-                feats, config.manifest, compiled,
-                carry_cols=["tags", "geom_x", "geom_y"],
+    def _content_mp() -> DataFrame:
+        feats = way_feats.select("feature_id", "h", "tags", "geom_x", "geom_y")
+        if rel_feats is not None:
+            feats = feats.unionByName(
+                rel_feats.select("feature_id", "h", "tags", "geom_x", "geom_y")
             )
-            ext_pairs = external.select(
-                "leaf_h", F.explode("external").alias("feature_id")
-            )
-            leaf_rows = (
-                c.where(F.col("zoom") == config.leaf_zoom)
-                .drop("tile_h")
-                .join(ext_pairs, "feature_id")
-                .withColumnRenamed("leaf_h", "tile_h")
-            )
-            return c.unionByName(leaf_rows.select(*c.columns))
-
-        content_mp = stage("content_mp").run(
-            spark, _content_mp, writer=write_content,
-            inputs=["way_features", "external_members"],
+        c = render_content(
+            feats, config.manifest, compiled,
+            carry_cols=["tags", "geom_x", "geom_y"],
         )
+        ext_pairs = external.select(
+            "leaf_h", F.explode("external").alias("feature_id")
+        )
+        leaf_rows = (
+            c.where(F.col("zoom") == config.leaf_zoom)
+            .drop("tile_h")
+            .join(ext_pairs, "feature_id")
+            .withColumnRenamed("leaf_h", "tile_h")
+        )
+        return c.unionByName(leaf_rows.select(*c.columns))
+
+    # tree / content / content_mp are INDEPENDENT given their inputs —
+    # run them as concurrent Spark jobs (separate driver threads): the
+    # small tree rollup and the content shuffle fill each other's idle
+    # cores / stage tails instead of serializing their fixed commit costs
+    from concurrent.futures import ThreadPoolExecutor
+
+    content_mp = None
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_tree = pool.submit(
+            stage("tile_tree").run, spark, _tree, None, ["points_sorted"]
+        )
+        f_content = pool.submit(
+            stage("content").run, spark, _content, write_content, ["points_sorted"]
+        )
+        f_mp = (
+            pool.submit(
+                stage("content_mp").run, spark, _content_mp, write_content,
+                ["way_features", "external_members"],
+            )
+            if has_mp
+            else None
+        )
+        tree = f_tree.result()
+        content = f_content.result()
+        if f_mp is not None:
+            content_mp = f_mp.result()
 
     # 4. tile payload assembly (A6/P7/DP) on the pre-clustered content —
     #    points-only: fast path with interior-tile finals; mixed: point
@@ -421,24 +434,28 @@ def build_planet(
         )
         return merge_chunks(pchunks.unionByName(gchunks), _layer_order(config))
 
-    tiles = stage("tiles").run(
-        spark,
-        _compose,
-        writer=lambda df, p: df.write.mode("overwrite").partitionBy("zoom").parquet(p),
-        inputs=["content"] + (["content_mp"] if has_mp else []),
-    )
-
     # 5. metrics tables (S11 report analog); zoom metrics derive from the
-    #    small tile manifest, not a content re-scan
+    #    small tile manifest, not a content re-scan. tiles and manifest
+    #    both read only the (already-written) content stage -> concurrent
     def _manifest() -> DataFrame:
         c = content.select("zoom", "tile_h", "feature_id")
         if content_mp is not None:
             c = c.unionByName(content_mp.select("zoom", "tile_h", "feature_id"))
         return tile_manifest(c)
 
-    manifest_df = stage("tile_manifest").run(
-        spark, _manifest, inputs=["content"]
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_tiles = pool.submit(
+            stage("tiles").run,
+            spark,
+            _compose,
+            lambda df, p: df.write.mode("overwrite").partitionBy("zoom").parquet(p),
+            ["content"] + (["content_mp"] if has_mp else []),
+        )
+        f_manifest = pool.submit(
+            stage("tile_manifest").run, spark, _manifest, None, ["content"]
+        )
+        tiles = f_tiles.result()
+        manifest_df = f_manifest.result()
     metrics_df = stage("zoom_metrics").run(
         spark,
         lambda: zoom_metrics_from_manifest(manifest_df),

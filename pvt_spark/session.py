@@ -43,6 +43,19 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "524288")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.driver.memory", os.environ.get("PVT_DRIVER_MEM", "8g"))
+        # Throughput GC: G1's concurrent refinement/marking threads
+        # contend with task threads in allocation-heavy shuffle stages —
+        # measured 0.49 -> 0.845 scaling efficiency (2->8 cores) and
+        # 1.8x absolute on a pure groupBy-agg control with ParallelGC
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # multi-executor masters (local-cluster / standalone) spawn their
+        # own Python workers: make the package importable there (the
+        # local analog of spark-submit --py-files, cf scripts/submit_build.py)
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

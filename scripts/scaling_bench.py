@@ -36,14 +36,21 @@ print("RESULT", json.dumps(r))
 """
 
 
-def run_pinned(cores: int, pages: int, root: str) -> dict:
-    script = RUNNER.format(repo=REPO, master=f"local[{cores}]", pages=pages, root=root)
+def run_pinned(cores: int, pages: int, root: str, master: str | None = None) -> dict:
+    script = RUNNER.format(
+        repo=REPO, master=master or f"local[{cores}]", pages=pages, root=root
+    )
     cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
+    env = dict(os.environ)
+    # size the session for the cores it actually has (a real N-executor
+    # cluster is configured for N, not for the dev box's core count)
+    env["SPARK_GRAFT_CPUS"] = str(cores)
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, "-u", "-c", script],
         capture_output=True,
         text=True,
         check=True,
+        env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT"):
@@ -57,14 +64,28 @@ def main() -> None:
     ap.add_argument("--pages2", type=int, default=0, help="second size for marginal eff")
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
+    ap.add_argument(
+        "--mode", default="local", choices=["local", "local-cluster"],
+        help="local-cluster runs SEPARATE executor JVMs (N vs 4N executors)",
+    )
+    ap.add_argument("--exec-cores", type=int, default=2)
+    ap.add_argument("--exec-mem", type=int, default=4096)
+    ap.add_argument("--root", default=None, help="shared dir (reuses generated pages)")
     args = ap.parse_args()
-    root = tempfile.mkdtemp(prefix="pvt_scaling_")
+    root = args.root or tempfile.mkdtemp(prefix="pvt_scaling_")
+    os.makedirs(root, exist_ok=True)
+
+    def master_for(cores: int) -> str | None:
+        if args.mode == "local":
+            return None
+        n_exec = max(1, cores // args.exec_cores)
+        return f"local-cluster[{n_exec},{args.exec_cores},{args.exec_mem}]"
 
     res = {}
     for cores in (args.high, args.low):
         # warmup build (JVM/codegen/python-worker init), then measure
-        run_pinned(cores, 20_000, root)
-        res[cores] = run_pinned(cores, args.pages, root)
+        run_pinned(cores, 20_000, root, master_for(cores))
+        res[cores] = run_pinned(cores, args.pages, root, master_for(cores))
     eff = (res[args.low]["wall_sec"] * args.low) / (res[args.high]["wall_sec"] * args.high)
     out = {
         "pages": args.pages,
