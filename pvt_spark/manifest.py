@@ -45,6 +45,10 @@ class Manifest:
     layers: dict[str, list[str]]
     rules: dict[str, Rule]
     all_tags: bool = False
+    # report selection (reference manifest data.include_leaves +
+    # report_options, consumed by operators/report.py)
+    include_leaves: list[int] = field(default_factory=list)
+    report_options: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.leaf_zoom % 2 != 0:
@@ -72,12 +76,15 @@ def manifest_from_dict(d: dict) -> Manifest:
             values=[str(v) for v in r.get("values", [])],
             include=include,
         )
+    data = d.get("data", {})
     return Manifest(
         leaf_zoom=int(render.get("leaf_zoom", 12)),
         layer_order=list(render.get("layer_order", [])),
         layers={k: list(v) for k, v in d.get("layers", {}).items()},
         rules=rules,
         all_tags=bool(render.get("all_tags", False)),
+        include_leaves=[int(h) for h in data.get("include_leaves", [])],
+        report_options=[str(o) for o in d.get("report_options", [])],
     )
 
 
