@@ -89,6 +89,7 @@ def knn_per_tile(
     id_col: str = "feature_id",
     ring: int = 1,
     max_ring: int = 8,
+    grid_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """points(id, lon_dm7, lat_dm7, h) x queries(query_id, lon_dm7,
     lat_dm7, h) -> (query_id, neighbor_id, rank, d2). EXACT k-NN.
@@ -97,26 +98,47 @@ def knn_per_tile(
     queries escalate through lazily-unioned passes. ``queries`` is
     broadcast into the candidate joins — suitable up to millions of
     queries; the points side streams at any scale.
+
+    ``grid_cols=(x, y)``: use these columns (both tables) as the u32
+    planar coordinates directly instead of Mercator-projecting
+    lon_dm7/lat_dm7 — the coordinates MUST live on the same u32 grid
+    as ``h`` or the ring exactness guarantee is unsound.
     """
     tile_size = float(1 << (32 - zoom))
-    pts = (
-        points.withColumn("tile", zoom_h(F.col("h"), zoom))
-        .withColumn("px", grid_x(F.col("lon_dm7")))
-        .withColumn("py", grid_y(F.col("lat_dm7")))
-    )
+    if grid_cols is None:
+        pts = (
+            points.withColumn("tile", zoom_h(F.col("h"), zoom))
+            .withColumn("px", grid_x(F.col("lon_dm7")))
+            .withColumn("py", grid_y(F.col("lat_dm7")))
+        )
+        q_src = lambda qs: qs.select(  # noqa: E731
+            "query_id",
+            grid_x(F.col("lon_dm7")).alias("qx"),
+            grid_y(F.col("lat_dm7")).alias("qy"),
+            "h",
+        )
+    else:
+        xc, yc = grid_cols
+        pts = (
+            points.withColumn("tile", zoom_h(F.col("h"), zoom))
+            .withColumn("px", F.col(xc))
+            .withColumn("py", F.col(yc))
+        )
+        q_src = lambda qs: qs.select(  # noqa: E731
+            "query_id", F.col(xc).alias("qx"), F.col(yc).alias("qy"), "h"
+        )
 
     def run_pass(qs: DataFrame, ring_: int) -> DataFrame:
-        probes = qs.select(
+        probes = q_src(qs).select(
             "query_id",
-            F.col("lon_dm7").alias("q_lon"),
-            F.col("lat_dm7").alias("q_lat"),
+            "qx",
+            "qy",
             F.explode(_ring_tiles_col(zoom, ring_)(F.col("h"))).alias("probe_tile"),
         )
         cand = pts.join(F.broadcast(probes), pts["tile"] == probes["probe_tile"])
-        d2 = (
-            (F.col("px") - grid_x(F.col("q_lon"))) ** 2
-            + (F.col("py") - grid_y(F.col("q_lat"))) ** 2
-        ).cast("double")
+        d2 = ((F.col("px") - F.col("qx")) ** 2 + (F.col("py") - F.col("qy")) ** 2).cast(
+            "double"
+        )
         w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc(id_col))
         return (
             cand.withColumn("d2", d2)
@@ -147,21 +169,12 @@ def knn_per_tile(
     q3 = q2.join(F.broadcast(ok2), "query_id", "left_anti")
 
     # final pass: exact brute force for the (rare) still-deficient set
-    d2b = (
-        (F.col("px") - grid_x(F.col("q_lon"))) ** 2
-        + (F.col("py") - grid_y(F.col("q_lat"))) ** 2
-    ).cast("double")
+    d2b = ((F.col("px") - F.col("qx")) ** 2 + (F.col("py") - F.col("qy")) ** 2).cast(
+        "double"
+    )
     wb = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc(id_col))
     brute = (
-        pts.crossJoin(
-            F.broadcast(
-                q3.select(
-                    "query_id",
-                    F.col("lon_dm7").alias("q_lon"),
-                    F.col("lat_dm7").alias("q_lat"),
-                )
-            )
-        )
+        pts.crossJoin(F.broadcast(q_src(q3).select("query_id", "qx", "qy")))
         .withColumn("d2", d2b)
         .withColumn("rank", F.row_number().over(wb))
         .where(F.col("rank") <= k)

@@ -346,50 +346,55 @@ FROM pts GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
 """
 
 
-def q12_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW-J10: k-nearest-neighbors (k=3) for 5 query points, exact integer
-    squared distance in dm4 space, rank ties broken by neighbor id."""
-    from pyspark.sql.window import Window
+# q12 runs the PRODUCTION knn_per_tile operator (exploded probe rings,
+# ring-radius exactness guarantee, escalation passes). Coordinates are
+# integer u32-grid cells clustered in a 2^24-unit region (16x16 z12
+# tiles): every squared distance stays < 2^53, so the operator's double
+# arithmetic is exact and the integer-math DuckDB oracle is bit-equal.
+_Q12_GX = "2000000000 + ({key} * 2654435761) % 16777216"
+_Q12_GY = "2000000000 + ({key} * 2246822519) % 16777216"
 
-    pts = _synth_points(spark, sf_dir).select(
-        "feature_id",
-        F.expr("(lon_dm7 + 1800000000) div 1000").alias("x"),
-        F.expr("(lat_dm7 + 850000000) div 1000").alias("y"),
+
+def q12_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW-J10 via the real operator: k=3 neighbors for 5 query points."""
+    from .functions.geo import xy_to_hilbert_h
+    from .operators.knn import knn_per_tile
+
+    (cust,) = load(spark, sf_dir, "customer")
+    all_pts = cust.select(
+        F.col("c_custkey").alias("feature_id"),
+        F.expr(_Q12_GX.format(key="c_custkey")).alias("gx"),
+        F.expr(_Q12_GY.format(key="c_custkey")).alias("gy"),
+    ).withColumn("h", xy_to_hilbert_h(F.col("gx"), F.col("gy")))
+    points = all_pts.where(F.col("feature_id") > 5)
+    queries = all_pts.where(F.col("feature_id") <= 5).select(
+        F.col("feature_id").alias("query_id"), "gx", "gy", "h"
     )
-    queries = pts.where(F.col("feature_id") <= 5).select(
-        F.col("feature_id").alias("query_id"),
-        F.col("x").alias("qx"),
-        F.col("y").alias("qy"),
+    out = knn_per_tile(
+        points, queries, k=3, zoom=12, grid_cols=("gx", "gy")
     )
-    cand = F.broadcast(queries).join(pts, F.col("feature_id") != F.col("query_id"))
-    d2 = (F.col("x") - F.col("qx")) ** 2 + (F.col("y") - F.col("qy")) ** 2
-    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("feature_id"))
-    return (
-        cand.withColumn("d2", d2.cast("long"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("query_id", F.col("feature_id").alias("neighbor_id"), "rank", "d2")
-        .orderBy("query_id", "rank")
-    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.col("d2").cast("long").alias("d2")
+    ).orderBy("query_id", "rank")
 
 
 Q12_SQL = f"""
 WITH pts AS (
   SELECT c_custkey AS feature_id,
-         (({_SYNTH_LON}) + 1800000000) // 1000 AS x,
-         (({_SYNTH_LAT}) + 850000000) // 1000 AS y
+         {_Q12_GX.format(key="c_custkey")} AS gx,
+         {_Q12_GY.format(key="c_custkey")} AS gy
   FROM customer),
 queries AS (
-  SELECT feature_id AS query_id, x AS qx, y AS qy FROM pts WHERE feature_id <= 5),
+  SELECT feature_id AS query_id, gx AS qx, gy AS qy FROM pts WHERE feature_id <= 5),
 cand AS (
   SELECT q.query_id, p.feature_id AS neighbor_id,
-         (p.x - q.qx)*(p.x - q.qx) + (p.y - q.qy)*(p.y - q.qy) AS d2
-  FROM queries q JOIN pts p ON p.feature_id != q.query_id),
+         (p.gx - q.qx)*(p.gx - q.qx) + (p.gy - q.qy)*(p.gy - q.qy) AS d2
+  FROM queries q JOIN pts p ON p.feature_id > 5),
 ranked AS (
   SELECT query_id, neighbor_id, d2,
          row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank
   FROM cand)
-SELECT query_id, neighbor_id, rank, d2 FROM ranked WHERE rank <= 3
+SELECT query_id, neighbor_id, rank, CAST(d2 AS BIGINT) AS d2 FROM ranked WHERE rank <= 3
 ORDER BY query_id, rank
 """
 

@@ -39,6 +39,56 @@ def incremental_points(pages_stream: DataFrame) -> DataFrame:
     return pts.withColumn("feature_id", F.xxhash64("url", "mention_idx"))
 
 
+def streaming_leaf_counts(
+    pages_stream: DataFrame,
+    leaf_zoom: int = 12,
+    window_dur: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed per-leaf-tile ingestion metrics with late-data
+    handling: (window, leaf_h, n_points) counts over the crawl stream.
+
+    Watermark on ``warc_ts`` bounds state: windows older than
+    max(event time) - watermark are finalized and dropped from state —
+    late pages beyond it are discarded, matching the lineage contract
+    (a finalized window's count never changes). The geotag kernel is
+    stateless, so the same extract/regex/Hilbert code path serves batch
+    and streaming.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..functions.geo import zoom_h
+    from ..operators.extract import extract_text
+    from ..operators.geotag import _geotag_batch
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            text = pdf["html"].map(extract_text)
+            hits = _geotag_batch(pd.DataFrame({"url": pdf["url"], "text": text}))
+            ts_by_url = dict(zip(pdf["url"], pdf["warc_ts"]))
+            hits["warc_ts"] = hits["url"].map(ts_by_url)
+            yield hits[["warc_ts", "h"]]
+
+    pts = pages_stream.select("url", "warc_ts", "html").mapInPandas(
+        run, "warc_ts timestamp, h long"
+    )
+    return (
+        pts.withWatermark("warc_ts", watermark)
+        .withColumn("leaf_h", zoom_h(F.col("h"), leaf_zoom))
+        .groupBy(F.window("warc_ts", window_dur).alias("w"), "leaf_h")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "leaf_h",
+            "n_points",
+        )
+    )
+
+
 def run_ingest(
     spark: SparkSession,
     pages_dir: str,

@@ -31,3 +31,60 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     row = spark.read.parquet(points_dir).first()
     assert row.url.startswith("https://") and row.h is not None
     assert os.path.isdir(ckpt)
+
+
+def test_streaming_windowed_leaf_counts(spark, tmp_path):
+    """Watermarked event-time windows: streaming counts == batch oracle
+    (complete mode), and append mode emits only watermark-closed windows."""
+    from pyspark.sql import functions as F
+
+    from pvt_spark.functions.geo import zoom_h
+    from pvt_spark.operators.extract import extract_pages
+    from pvt_spark.operators.geotag import geotag
+    from pvt_spark.sources.pages import PAGES_SCHEMA
+    from pvt_spark.streaming.incremental import streaming_leaf_counts
+
+    pages_dir = str(tmp_path / "pages")
+    batch = synthesize_pages(spark, 400, seed=42, partitions=2)
+    batch.write.mode("append").parquet(pages_dir)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    )
+    agg = streaming_leaf_counts(stream, leaf_zoom=12, window_dur="30 days",
+                                watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("leafcounts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.leaf_h): r.n_points
+        for r in spark.sql("SELECT * FROM leafcounts").collect()
+    }
+
+    # batch oracle through the same kernels
+    pts = geotag(extract_pages(spark.read.parquet(pages_dir)))
+    pages = spark.read.parquet(pages_dir).select("url", "warc_ts")
+    want_df = (
+        pts.join(pages, "url")
+        .withColumn("leaf_h", zoom_h(F.col("h"), 12))
+        .groupBy(F.window("warc_ts", "30 days").alias("w"), "leaf_h")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    want = {
+        (r.w.start, r.leaf_h): r.n_points for r in want_df.collect()
+    }
+    assert got == want and len(got) > 0
+
+    # append mode: only windows older than max(ts) - watermark finalize
+    q2 = (
+        streaming_leaf_counts(stream, leaf_zoom=12, window_dur="30 days",
+                              watermark="1 hour")
+        .writeStream.format("memory").queryName("leafappend")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    emitted = spark.sql("SELECT count(*) n FROM leafappend").first().n
+    total_windows = len(got)
+    assert emitted < total_windows  # the newest window is still open
