@@ -1244,6 +1244,102 @@ FROM expanded GROUP BY zoom, tile_h ORDER BY zoom, tile_h
 Q28_SQL = _q28_sql()
 
 
+def q31_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN query (the 100 TB-scale similarity-search path):
+    coarse-assign every vector to its nearest of 4 centroids (q24's
+    logic), then search ONLY the query's nprobe=2 nearest cells for the
+    top-10 by exact integer dot product. Candidate set = cell-restricted
+    equi-join, never all vectors."""
+    from pyspark.sql.window import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = "transform(embedding, e -> cast(round(e * 10000) as bigint))"
+    quant = emb.select("vec_id", F.expr(q).alias("qv"))
+    cents = quant.where(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    d2 = "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    w1 = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    assigned = (
+        quant.crossJoin(F.broadcast(cents))
+        .select("vec_id", "qv", "centroid_id", F.expr(d2).alias("d2"))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "qv", "centroid_id")
+    )
+    # query = vec_id 0; its nprobe=2 nearest cells
+    probe = (
+        quant.where(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col("centroid_id"), F.expr(d2).alias("d2"), F.col("qv").alias("query_v"))
+        .orderBy(F.asc("d2"), F.asc("centroid_id"))
+        .limit(2)
+    )
+    dot = "aggregate(zip_with(qv, query_v, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "centroid_id", F.expr(dot).alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+Q31_SQL = """
+WITH quant AS (
+  SELECT vec_id, list_transform(embedding, e -> cast(round(e * 10000) AS BIGINT)) AS qv
+  FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM quant WHERE vec_id <= 3),
+assigned AS (
+  SELECT vec_id, qv, centroid_id FROM (
+    SELECT q.vec_id, q.qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             cast(list_sum(list_transform(range(1, len(q.qv) + 1),
+                  i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) ASC,
+             c.centroid_id ASC) AS rn
+    FROM quant q, cents c) WHERE rn = 1),
+probe AS (
+  SELECT c.centroid_id, q.qv AS query_v
+  FROM quant q, cents c WHERE q.vec_id = 0
+  ORDER BY cast(list_sum(list_transform(range(1, len(q.qv) + 1),
+        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) ASC,
+        c.centroid_id ASC
+  LIMIT 2)
+SELECT a.vec_id, a.centroid_id,
+       cast(list_sum(list_transform(range(1, len(a.qv) + 1),
+            i -> a.qv[i] * p.query_v[i])) AS BIGINT) AS dot
+FROM assigned a JOIN probe p USING (centroid_id)
+WHERE a.vec_id != 0
+ORDER BY dot DESC, vec_id ASC LIMIT 10
+"""
+
+
+_BPE_RE = "[a-z]+|[A-Z][a-z]*|[0-9]{1,3}|[^A-Za-z0-9 ]"
+
+
+def q32_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: regex token classes (lowercase runs,
+    capitalized words, digit triples, single symbols) — the pre-merge
+    word-split stage of byte-pair tokenizers — plus whitespace count
+    for comparison."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias(
+            "bpe_tokens"
+        ),
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+    ).orderBy("doc_id")
+
+
+Q32_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
+       len(string_split(text, ' ')) AS ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def q30_way_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-build compose path (rows-only): derive ways from customer
     points (hash groups, Hilbert-ordered refs, ring/line mix), assign
@@ -1321,6 +1417,8 @@ REGISTRY: dict[str, tuple] = {
     "q27_tile_tree": (q27_tile_tree, Q27_SQL),
     "q28_tile_compose": (q28_tile_compose, Q28_SQL),
     "q30_way_tiles": (q30_way_tiles, None),
+    "q31_ivf_search": (q31_ivf_search, Q31_SQL),
+    "q32_bpe_tokens": (q32_bpe_tokens, Q32_SQL),
 }
 
 
