@@ -5,9 +5,12 @@
   over the sf0.001 tables.
 - ``queries()``: one entry per implemented operator from SURVEY.md §2
   (see pvt_spark/queries.py for the operator mapping in each docstring).
-- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
-  query; Hilbert-kernel queries are rows-only (q26-q28) except
-  q25 whose oracle is the reference's own golden constants.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every query except
+  q30 (way interior-point construction is not SQL-expressible; it is
+  pinned by the compose golden + mixed-pipeline tests instead). The
+  Hilbert queries q26-q28 ARE value-checked: the order-32 encode is
+  recomputed inside DuckDB as an unrolled 32-step CTE chain; q25's
+  oracle is the reference's own golden constants.
 """
 
 from __future__ import annotations
