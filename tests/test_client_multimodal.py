@@ -14,7 +14,7 @@ from pvt_spark.functions.client import (
 )
 from pvt_spark.functions.multimodal import (
     extract_media_features,
-    sample_frames_stub,
+    sample_frames,
     synthesize_media,
 )
 from pvt_spark.tile import Tile, hilbert_bearing
@@ -60,20 +60,73 @@ def test_hilbert_bearing_smoke():
     assert sum(v is not None for v in vals) > 200
 
 
-def test_media_features_deterministic(spark):
+def test_media_features_real_and_stub(spark):
     media = synthesize_media(spark, 30)
     out = extract_media_features(media, feat_dim=16).collect()
     assert len(out) == 30
     assert all(r.feat_dim == 16 and len(r.features) == 16 for r in out)
-    assert all(r.decode_ok == "ok" for r in out)
+    # real payloads decode for real; every 10th row is compressed -> stub
+    by_id = {r.media_id: r for r in out}
+    assert all(
+        by_id[i].decode_ok == ("stubbed" if i % 10 == 9 else "ok") for i in range(30)
+    )
     # deterministic across runs
     again = {r.media_id: r.features for r in extract_media_features(media, 16).collect()}
     first = {r.media_id: r.features for r in out}
     assert first == again
+    # content-sensitive: two different images differ
+    assert first[0] != first[6]
+
+
+def test_image_codec_roundtrip_and_resize(spark):
+    import numpy as np
+
+    from pvt_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(0)
+    rgb = rng.randint(0, 256, (13, 7, 3), dtype=np.uint8)  # odd width: padding
+    assert (decode_bmp(encode_bmp(rgb)) == rgb).all()
+
+    media = synthesize_media(spark, 12)
+    resized = resize_images(media, 8, 8)
+    for r in resized.where(F.col("kind") == "image").collect():
+        if r.mime == "image/bmp":
+            img = decode_bmp(bytes(r.data))
+            assert img.shape == (8, 8, 3) and r.width == 8 and r.height == 8
+
+
+def test_audio_codec_roundtrip():
+    import numpy as np
+
+    from pvt_spark.functions.multimodal import decode_wav, encode_wav
+
+    s = (np.sin(np.linspace(0, 50, 1000)) * 20000).astype(np.int16)
+    got, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and (got == s).all()
 
 
 def test_frame_sampling(spark):
+    from pvt_spark.functions.multimodal import decode_bmp
+
     media = synthesize_media(spark, 30)
-    frames = sample_frames_stub(media, every_ms=1000)
-    rows = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
-    assert rows and all(r.n == 3 for r in rows)  # 3000ms at 1000ms steps
+    frames = sample_frames(media, every_ms=100)
+    rows = frames.collect()
+    assert rows
+    # sampled frames are REAL decodable images
+    img = decode_bmp(bytes(rows[0].frame))
+    assert img.shape == (16, 16, 3)
+    # one row per 100ms of container duration (10 fps)
+    n_by_id = {}
+    for r in rows:
+        n_by_id[r.media_id] = n_by_id.get(r.media_id, 0) + 1
+    durations = {
+        r.media_id: r.duration_ms
+        for r in media.where(F.col("kind") == "video").collect()
+        if r.duration_ms is not None
+    }
+    for mid, n in n_by_id.items():
+        assert n == durations[mid] // 100
