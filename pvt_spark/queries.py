@@ -400,34 +400,45 @@ ORDER BY query_id, rank
 
 
 def q13_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW-J9: point-in-polygon join vs broadcast admin rectangles derived
-    from nation keys (exact integer containment; the general ray-cast
-    path is exercised in tests/test_geo_joins.py)."""
-    pts = _synth_points(spark, sf_dir)
+    """NEW-J9 via the PRODUCTION operator: point_in_polygon_join
+    (scanline cover-tile prune + vectorized even-odd ray-cast) against
+    admin rectangles derived from nation keys. On axis-aligned rings the
+    even-odd rule yields exactly the half-open [west,east) x
+    [south,north) containment the integer SQL oracle computes."""
+    from .functions.geo import hilbert_h
+    from .operators.pip import point_in_polygon_join
+
+    pts = _synth_points(spark, sf_dir).withColumn(
+        "h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7"))
+    )
     (nation,) = load(spark, sf_dir, "nation")
     rects = nation.select(
-        "n_nationkey",
+        F.col("n_nationkey").cast("long").alias("admin_id"),
         "n_name",
         (F.col("n_nationkey").cast("long") % 5 * 720000000 - 1800000000).alias("west"),
         (F.col("n_nationkey").cast("long") % 5 * 720000000 - 1440000000).alias("east"),
         (F.col("n_nationkey").cast("long") / 5).cast("long").alias("_row"),
     ).select(
-        "n_nationkey",
+        "admin_id",
         "n_name",
         "west",
         "east",
         (F.col("_row") * 340000000 - 850000000).alias("south"),
         (F.col("_row") * 340000000 - 510000000).alias("north"),
     )
-    joined = pts.join(
-        F.broadcast(rects),
-        (F.col("lon_dm7") >= F.col("west"))
-        & (F.col("lon_dm7") < F.col("east"))
-        & (F.col("lat_dm7") >= F.col("south"))
-        & (F.col("lat_dm7") < F.col("north")),
+    ring = F.array(
+        F.struct(F.col("west").cast("int").alias("lon_dm7"), F.col("south").cast("int").alias("lat_dm7")),
+        F.struct(F.col("east").cast("int").alias("lon_dm7"), F.col("south").cast("int").alias("lat_dm7")),
+        F.struct(F.col("east").cast("int").alias("lon_dm7"), F.col("north").cast("int").alias("lat_dm7")),
+        F.struct(F.col("west").cast("int").alias("lon_dm7"), F.col("north").cast("int").alias("lat_dm7")),
+        F.struct(F.col("west").cast("int").alias("lon_dm7"), F.col("south").cast("int").alias("lat_dm7")),
     )
+    polys = rects.select("admin_id", "n_name", F.array(ring).alias("rings"))
+    matched = point_in_polygon_join(pts, polys, cover_zoom=6)
     return (
-        joined.groupBy("n_nationkey", "n_name")
+        matched.groupBy(
+            F.col("admin_id").alias("n_nationkey"), "n_name"
+        )
         .agg(F.count(F.lit(1)).alias("point_count"))
         .orderBy("n_nationkey")
     )
