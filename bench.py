@@ -151,6 +151,29 @@ def main() -> None:
         timings["pip_20k_vertex_matches"] = n_in
         spark.stop()
 
+        # mixed build: nodes + ways + relations + externals through the
+        # unified chunk merge (tracks the multi-point pipeline's speed)
+        from pvt_spark.plans.pipeline import BuildConfig as _BC
+        from pvt_spark.plans.pipeline import build_planet as _bp
+        from pvt_spark.session import get_spark as _gs
+
+        spark = _gs(master=f"local[{max(1, cpus // 2)}]", app_name="pvt-bench-mixed")
+        spark.sparkContext.setLogLevel("ERROR")
+        mixed_pages = min(n_pages // 5, 200_000)
+        pages_path = os.path.join(tmp_root, f"pages_{n_pages}")
+        # predicate, not limit(): limit collapses downstream parallelism
+        pages = spark.read.parquet(pages_path).where(f"page_id < {mixed_pages}")
+        planet = os.path.join(tmp_root, "planet_mixed")
+        t0 = time.time()
+        _bp(
+            spark, pages, planet,
+            _BC(leaf_zoom=12, synth_ways=mixed_pages // 100,
+                synth_relations=mixed_pages // 1000),
+        )
+        timings["tile_build_mixed"] = round(time.time() - t0, 3)
+        timings["mixed_pages"] = mixed_pages
+        spark.stop()
+
         if os.environ.get("PVT_BENCH_SCALING") == "1":
             # north-rule N->4N protocol (pinned, fresh subprocesses):
             # see scripts/scaling_bench.py + BENCH/BASELINE.md

@@ -415,7 +415,9 @@ def _chunk_rows_for_tile(zoom, tile_h, s, e, layer_rank, layers, hs, raw_ids, n_
     return rows
 
 
-def _phase1_points_stream(batches, tolerance: float, emit_finals: bool = True):
+def _phase1_points_stream(
+    batches, tolerance: float, emit_finals: bool = True, exclude_keys=None
+):
     """Stateless per-batch processing with per-file-run boundary chunking.
 
     Safety argument: a tile's rows live in exactly ONE content file
@@ -463,7 +465,15 @@ def _phase1_points_stream(batches, tolerance: float, emit_finals: bool = True):
         n_tiles = len(tb) - 1
         rows = []
         for i, (s_, e_) in enumerate(zip(tb[:-1], tb[1:])):
-            boundary = (not emit_finals) or i == 0 or i == n_tiles - 1
+            boundary = (
+                (not emit_finals)
+                or i == 0
+                or i == n_tiles - 1
+                or (
+                    exclude_keys is not None
+                    and ((int(zoom[s_]) << 50) | int(tile_h[s_])) in exclude_keys
+                )
+            )
             if boundary:
                 rows.extend(
                     _chunk_rows_for_tile(
@@ -519,6 +529,8 @@ def compose_points_presorted(
     layer_order: list[str],
     tolerance: float = DEFAULT_TOLERANCE,
     merge_partitions: int | None = None,
+    exclude_keys=None,
+    extra_chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Single-point-feature compose over (zoom, tile_h)-clustered input.
 
@@ -532,21 +544,29 @@ def compose_points_presorted(
     (range partitioning keeps a tile in one partition, so that is
     almost all of them) and mergeable chunks only for the first/last
     tile of each partition; phase 2 merges those few boundary tiles.
+
+    Mixed builds: ``exclude_keys`` (frozenset of (zoom << 50) | tile_h)
+    demotes the listed tiles from finals to chunks so their point rows
+    can merge with ``extra_chunks`` (way/relation geometry chunks) in
+    phase 2 — every other tile keeps the finals fast path.
     """
     spark = render_features.sparkSession
     merge_partitions = merge_partitions or 8
     # equality-only marker: hash the file name to a long (cheap in Arrow)
     with_file = render_features.withColumn("_file", F.xxhash64(F.input_file_name()))
     ph1 = with_file.mapInPandas(
-        lambda it: _phase1_points_stream(it, tolerance), UNIFIED_SCHEMA
+        lambda it: _phase1_points_stream(it, tolerance, True, exclude_keys),
+        UNIFIED_SCHEMA,
     ).persist()
     finals = ph1.where(F.col("final")).select(*_TILE_COLS)
     partials = ph1.where(~F.col("final")).select(
         "zoom", "tile_h", F.lit(0).alias("salt"), "layer", "n_features", "chunk"
     )
+    if extra_chunks is not None:
+        partials = partials.unionByName(extra_chunks)
     merged = (
         partials.repartition(merge_partitions, "zoom", "tile_h")
-        .sortWithinPartitions("zoom", "tile_h", "layer")
+        .sortWithinPartitions("zoom", "tile_h", "layer", "salt")
         .mapInPandas(lambda it: _phase2_stream(it, layer_order), TILE_SCHEMA)
     )
     return finals.unionByName(merged)

@@ -427,11 +427,30 @@ def build_planet(
         rf = _points_rf(spark, content, compiled, config)
         if not has_mp:
             return compose_points_presorted(rf, _layer_order(config))
-        pchunks = points_chunks(rf)
         gchunks = geometry_chunks(
             _mp_rf(spark, content_mp, compiled, config),
             salt_threshold=config.salt_threshold,
         )
+        # the point finals fast path stays available for every tile with
+        # NO multi-point features: demote only the mp tile set to chunks
+        # (broadcast-sized key set), merge those with the geometry chunks.
+        # Very way-dense planets (mp tile set too big to ship in the task
+        # closure) fall back to all-chunks.
+        mp_keys = content_mp.select("zoom", "tile_h").distinct()
+        if mp_keys.count() <= 200_000:
+            keys = frozenset(
+                (int(r.zoom) << 50) | int(r.tile_h) for r in mp_keys.collect()
+            )
+            return compose_points_presorted(
+                rf,
+                _layer_order(config),
+                merge_partitions=int(
+                    spark.conf.get("spark.sql.shuffle.partitions", "32")
+                ),
+                exclude_keys=keys,
+                extra_chunks=gchunks,
+            )
+        pchunks = points_chunks(rf)
         return merge_chunks(pchunks.unionByName(gchunks), _layer_order(config))
 
     # 5. metrics tables (S11 report analog); zoom metrics derive from the
