@@ -123,3 +123,20 @@ def test_zoom_shift():
     assert int(hb.signed_h_to_zoom_h(hs, 12)[0]) == 3660422102463285814 >> 40
     # Scotts Valley z12 tile (src/hilbert/tree.rs:227)
     assert int(hb.signed_h_to_zoom_h(hs, 12)[0]) == 3329134
+
+
+def test_santa_cruz_sort_goldens():
+    """Reference src/sort.rs:529-551: the first santa-cruz node/way pair
+    constants — h decodes to the exact asserted lon/lat."""
+    import numpy as np
+
+    from pvt_spark import hilbert as hb
+
+    for h_u64, want_lon, want_lat in (
+        (3660331851833214363, -121.2510385, 36.9596099),
+        (3660337306988711752, -121.4516216, 36.9000422),
+    ):
+        x, y = hb.h2xy(np.array([h_u64], np.uint64), 32)
+        lon, lat = hb.xy_to_lonlat(x, y)
+        assert lon[0] / 1e7 == want_lon
+        assert lat[0] / 1e7 == want_lat

@@ -84,3 +84,19 @@ def test_union_sources(spark):
     b = info_features(spark, 4, 3, 5, grandchild_levels=0)
     u = union_sources(a, b)
     assert u.count() == a.count() + b.count()
+
+
+def test_zero_info_tile_pyramid(spark):
+    """Reference src/info.rs test_zero_info_tile analog: the z0 root tile
+    with descendant levels composes a non-trivial info pyramid."""
+    info = info_features(spark, 0, 0, 0, grandchild_levels=2)
+    tiles = compose_tiles(
+        info, ["tile_boundary", "tile_center", "tile_bearing"], 100000
+    )
+    row = tile_lookup(tiles, 0, 0, 0).collect()
+    assert len(row) == 1
+    decoded = decode_tile(bytes(row[0].payload))
+    n_feats = sum(len(l["features"]) for l in decoded["layers"])
+    # z0 + z1 (4) + z2 (16) tiles, boundary+center each, + bearings
+    assert n_feats >= 42
+    assert row[0].payload_size > 1000
