@@ -1393,6 +1393,76 @@ def q30_way_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("zoom", "tile_h")
 
 
+def q33_raster_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster<->vector consistency (north rule): rasterize the EMITTED
+    tile payloads and the same features straight from coordinates onto
+    per-tile occupancy grids and full-outer-compare. Output = mismatch
+    cells; the oracle is the EMPTY set, so the driver's hash check
+    certifies payload round-trip integrity (projection, codec, ordering,
+    dropped features) end-to-end."""
+    from .functions.geo import xy_to_hilbert_h
+    from .manifest import DEFAULT_MANIFEST, compile_rules
+    from .operators.compose import compose_tiles
+    from .operators.content import render_content
+    from .operators.raster import (
+        raster_mismatches,
+        rasterize_features,
+        rasterize_payloads,
+    )
+    from .operators.rules import include_tags
+
+    (supp,) = load(spark, sf_dir, "supplier")
+    kinds = ["place", "amenity", "highway", "building", "shop", "natural", "power"]
+    vals = ["city", "bus_station", "primary", "yes", "supermarket", "tree", "pole"]
+    kv = F.element_at(
+        F.array(*[F.lit(k) for k in kinds]), (F.col("s_suppkey") % 7 + 1).cast("int")
+    )
+    vv = F.element_at(
+        F.array(*[F.lit(v) for v in vals]), (F.col("s_suppkey") % 7 + 1).cast("int")
+    )
+    pts = supp.select(
+        F.col("s_suppkey").alias("feature_id"),
+        F.expr(_GRID_X.format(key="s_suppkey")).alias("gx"),
+        F.expr(_GRID_Y.format(key="s_suppkey")).alias("gy"),
+        F.map_from_arrays(F.array(kv), F.array(vv)).alias("tags"),
+    ).withColumn("h", xy_to_hilbert_h(F.col("gx"), F.col("gy")))
+    compiled = compile_rules(DEFAULT_MANIFEST)
+    content = render_content(
+        pts, DEFAULT_MANIFEST, compiled, carry_cols=["tags", "gx", "gy"]
+    )
+    evals_df = spark.createDataFrame(
+        [(i, e[4], e[5]) for i, e in enumerate(compiled.evals)],
+        "eval_i int, include_kind string, include_keys array<string>",
+    )
+    feats = include_tags(content.join(F.broadcast(evals_df), "eval_i", "left"))
+    rf = feats.select(
+        "zoom",
+        "tile_h",
+        "feature_id",
+        "h",
+        F.explode("layers").alias("layer"),
+        "out_tags",
+        F.array("gx").alias("geom_x"),
+        F.array("gy").alias("geom_y"),
+        "gx",
+        "gy",
+    ).persist()
+    tiles = compose_tiles(
+        rf.drop("gx", "gy"), ["no_rule"] + DEFAULT_MANIFEST.layer_order, 1000
+    )
+    return raster_mismatches(
+        rasterize_payloads(tiles), rasterize_features(rf)
+    ).orderBy("zoom", "tile_h", "cell")
+
+
+Q33_SQL = """
+SELECT CAST(NULL AS INT) AS zoom, CAST(NULL AS BIGINT) AS tile_h,
+       CAST(NULL AS INT) AS cell, CAST(NULL AS BIGINT) AS n_a,
+       CAST(NULL AS BIGINT) AS n_b
+WHERE 1 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1430,6 +1500,7 @@ REGISTRY: dict[str, tuple] = {
     "q30_way_tiles": (q30_way_tiles, None),
     "q31_ivf_search": (q31_ivf_search, Q31_SQL),
     "q32_bpe_tokens": (q32_bpe_tokens, Q32_SQL),
+    "q33_raster_check": (q33_raster_check, Q33_SQL),
 }
 
 
