@@ -433,6 +433,11 @@ def _phase1_points_stream(
         "zoom", "tile_h", "final", "tile_id", "layer_count", "feature_count",
         "payload", "payload_size", "layer", "n_features", "chunk",
     ]
+    # exclude_keys may arrive as a Broadcast (fetched once per executor,
+    # not shipped in every task closure) — deref lazily, i.e. on the
+    # executor, when the generator first runs
+    if exclude_keys is not None and hasattr(exclude_keys, "value"):
+        exclude_keys = exclude_keys.value
 
     def process_run(run: pd.DataFrame):
         run = run.sort_values(
@@ -552,10 +557,14 @@ def compose_points_presorted(
     """
     spark = render_features.sparkSession
     merge_partitions = merge_partitions or 8
+    # demotion key set rides a broadcast variable, not the task closure
+    bc_exclude = (
+        spark.sparkContext.broadcast(exclude_keys) if exclude_keys is not None else None
+    )
     # equality-only marker: hash the file name to a long (cheap in Arrow)
     with_file = render_features.withColumn("_file", F.xxhash64(F.input_file_name()))
     ph1 = with_file.mapInPandas(
-        lambda it: _phase1_points_stream(it, tolerance, True, exclude_keys),
+        lambda it: _phase1_points_stream(it, tolerance, True, bc_exclude),
         UNIFIED_SCHEMA,
     ).persist()
     finals = ph1.where(F.col("final")).select(*_TILE_COLS)

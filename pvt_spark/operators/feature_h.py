@@ -200,53 +200,72 @@ def assign_relation_h(
     Mean is computed on UNBIASED u64 values through decimal(38,0) so the
     u128-sum semantics are exact, then re-biased.
     """
-    mem = relations.select(
-        "feature_id", F.explode("members").alias("m")
-    ).select(
-        "feature_id",
-        F.col("m.etype").alias("etype"),
-        F.col("m.ref").alias("ref_id"),
-    )
     node_h = nodes.select(F.col("feature_id").alias("ref_id"), F.col("h").alias("mh"))
     way_h = ways_with_h.select(F.col("feature_id").alias("ref_id"), F.col("h").alias("mh"))
-
-    resolved = relations.select("feature_id").withColumn("h", F.lit(None).cast("long")).where(F.lit(False))
-    pending = relations.select("feature_id")
+    base = node_h.withColumn("et", F.lit("n")).unionByName(
+        way_h.withColumn("et", F.lit("w"))
+    )
     # 2^63 exceeds Java long; build the decimal from a string literal
     bias = F.lit("9223372036854775808").cast("decimal(38,0)")
-    for _ in range(max_iters):
-        rel_h = resolved.select(F.col("feature_id").alias("ref_id"), F.col("h").alias("mh"))
-        members_all = (
-            node_h.withColumn("et", F.lit("n"))
-            .unionByName(way_h.withColumn("et", F.lit("w")))
-            .unionByName(rel_h.withColumn("et", F.lit("r")))
+
+    def member_rows(rels: DataFrame) -> DataFrame:
+        return rels.select("feature_id", F.explode("members").alias("m")).select(
+            "feature_id",
+            F.col("m.etype").alias("etype"),
+            F.col("m.ref").alias("ref_id"),
         )
-        sides = mem.join(pending, "feature_id").join(
+
+    def ready_of(mrows: DataFrame, members_all: DataFrame) -> DataFrame:
+        sides = mrows.join(
             members_all,
-            (mem["ref_id"] == members_all["ref_id"]) & (mem["etype"] == members_all["et"]),
+            (mrows["ref_id"] == members_all["ref_id"])
+            & (mrows["etype"] == members_all["et"]),
             "left",
         )
-        agg = sides.groupBy(mem["feature_id"].alias("feature_id")).agg(
+        agg = sides.groupBy(mrows["feature_id"].alias("feature_id")).agg(
             F.count(F.lit(1)).alias("n_members"),
             F.count("mh").alias("n_resolved"),
-            F.sum(
-                (F.col("mh").cast("decimal(38,0)") + bias)
-            ).alias("sum_h"),
+            F.sum((F.col("mh").cast("decimal(38,0)") + bias)).alias("sum_h"),
         )
-        ready = agg.where(F.col("n_members") == F.col("n_resolved")).select(
+        return agg.where(F.col("n_members") == F.col("n_resolved")).select(
             "feature_id",
-            (
-                F.floor(F.col("sum_h") / F.col("n_members"))
-                - F.lit("9223372036854775808").cast("decimal(38,0)")
-            )
+            (F.floor(F.col("sum_h") / F.col("n_members")) - bias)
             .cast("long")
             .alias("h"),
         )
-        ready = ready.localCheckpoint(eager=True)
-        if ready.limit(1).count() == 0:
+
+    nested_pred = F.expr("exists(members, m -> m.etype = 'r')")
+    flat_ready = ready_of(member_rows(relations.where(~nested_pred)), base)
+
+    # common case: NO relation references another relation -> the whole
+    # resolution is one aggregation with zero checkpoints/blocking jobs
+    # (one cheap driver count of the nested set decides; the reference's
+    # retry queue only spins for nested relations, src/sort.rs:462-487)
+    n_pending = relations.where(nested_pred).count()
+    if n_pending == 0:
+        return relations.join(flat_ready, "feature_id", "left")
+
+    # nested case: bounded fixed point over ONLY the nested relations,
+    # one blocking action per iteration (the eager checkpoint; the row
+    # count after it reads checkpointed partitions, and the driver-side
+    # pending counter replaces the old per-iteration anti-join count job)
+    resolved = flat_ready.localCheckpoint(eager=True)
+    pending_mem = member_rows(relations.where(nested_pred)).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        members_all = base.unionByName(
+            resolved.select(
+                F.col("feature_id").alias("ref_id"), F.col("h").alias("mh")
+            ).withColumn("et", F.lit("r"))
+        )
+        ready = ready_of(pending_mem, members_all).localCheckpoint(eager=True)
+        n_ready = ready.count()
+        if n_ready == 0:
             break
-        resolved = resolved.unionByName(ready).localCheckpoint(eager=True)
-        pending = pending.join(ready.select("feature_id"), "feature_id", "left_anti")
-        if pending.limit(1).count() == 0:
+        resolved = resolved.unionByName(ready)
+        n_pending -= n_ready
+        if n_pending <= 0:
             break
+        pending_mem = pending_mem.join(
+            ready.select("feature_id"), "feature_id", "left_anti"
+        ).localCheckpoint(eager=True)
     return relations.join(resolved, "feature_id", "left")

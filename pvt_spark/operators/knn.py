@@ -10,9 +10,10 @@ Exactness guarantee: a query's result is provably the true k-NN when
 its k-th candidate distance is <= ring * tile_size — every point that
 close is inside the probed region (the region boundary is at least
 ring tiles from the query's own tile). Queries failing the guarantee
-(sparse regions) escalate: ring -> 4*ring -> brute force, as three
-lazily-unioned DataFrame passes; at planet densities the escalation
-sets are empty and the extra passes cost nothing.
+(sparse regions) escalate: ring -> 4*ring -> brute force; each later
+pass is only SCHEDULED if a driver-side count of the (tiny) deficit
+aggregate says it is non-empty, so at planet densities the build runs
+exactly one candidate join.
 
 Distance is squared planar distance in the u32 web-mercator grid —
 consistent with the reference's location space (src/location.rs:48).
@@ -159,14 +160,24 @@ def knn_per_tile(
         ).select("query_id")
         return result.join(F.broadcast(ok), "query_id"), ok
 
-    r1 = run_pass(queries, ring)
+    # Escalation passes are SHORT-CIRCUITED driver-side: after each pass,
+    # one count job on the (tiny) deficit set decides whether the next
+    # pass is scheduled at all. At planet densities ring 1 satisfies every
+    # query, so the common case runs exactly one candidate join — the
+    # always-scheduled pass-2/3 stages (incl. an empty-side crossJoin and
+    # two extra per-query window shuffles) previously tripled the cost.
+    r1 = run_pass(queries, ring).persist()
     done1, ok1 = split_complete(r1, ring)
-    q2 = queries.join(F.broadcast(ok1), "query_id", "left_anti")
+    q2 = queries.join(F.broadcast(ok1), "query_id", "left_anti").persist()
+    if q2.isEmpty():
+        return done1
 
     ring2 = min(ring * 4, max_ring)
-    r2 = run_pass(q2, ring2)
+    r2 = run_pass(q2, ring2).persist()
     done2, ok2 = split_complete(r2, ring2)
-    q3 = q2.join(F.broadcast(ok2), "query_id", "left_anti")
+    q3 = q2.join(F.broadcast(ok2), "query_id", "left_anti").persist()
+    if q3.isEmpty():
+        return done1.unionByName(done2)
 
     # final pass: exact brute force for the (rare) still-deficient set
     d2b = ((F.col("px") - F.col("qx")) ** 2 + (F.col("py") - F.col("qy")) ** 2).cast(

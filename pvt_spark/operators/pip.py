@@ -138,7 +138,10 @@ def point_in_polygon_join(
     pts = points.withColumn("cover_tile", zoom_h(F.col("h"), cover_zoom))
     cand = pts.join(F.broadcast(cover), "cover_tile")
 
-    # ship ring geometry to executors once (numpy arrays via closure)
+    # ship ring geometry via a broadcast variable: ONE torrent-style
+    # transfer per executor, not a copy serialized into every task
+    # closure (at many-MB ring sets the closure copy dominates task
+    # launch cost; the broadcast is fetched once and shared)
     ring_map = {
         r["admin_id"]: [
             np.array([[p["lon_dm7"], p["lat_dm7"]] for p in ring], dtype=np.float64)
@@ -146,9 +149,11 @@ def point_in_polygon_join(
         ]
         for r in polys
     }
+    bc_rings = spark.sparkContext.broadcast(ring_map)
 
     @F.pandas_udf(BooleanType())
     def contains(admin_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        rings_by_admin = bc_rings.value
         px = lon.to_numpy(dtype=np.float64)
         py = lat.to_numpy(dtype=np.float64)
         aid = admin_id.to_numpy()
@@ -156,7 +161,7 @@ def point_in_polygon_join(
         for a in np.unique(aid):
             m = aid == a
             acc = np.zeros(m.sum(), dtype=bool)
-            for ring in ring_map[int(a)]:
+            for ring in rings_by_admin[int(a)]:
                 acc ^= _ray_cast(px[m], py[m], ring)
             out[m] = acc
         return pd.Series(out)

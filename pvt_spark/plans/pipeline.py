@@ -433,9 +433,10 @@ def build_planet(
         )
         # the point finals fast path stays available for every tile with
         # NO multi-point features: demote only the mp tile set to chunks
-        # (broadcast-sized key set), merge those with the geometry chunks.
-        # Very way-dense planets (mp tile set too big to ship in the task
-        # closure) fall back to all-chunks.
+        # (key set rides a sparkContext.broadcast inside
+        # compose_points_presorted), merge those with the geometry
+        # chunks. Very way-dense planets (mp tile set beyond the bounded
+        # driver collect below) fall back to all-chunks.
         mp_keys = content_mp.select("zoom", "tile_h").distinct()
         if mp_keys.count() <= 200_000:
             keys = frozenset(
