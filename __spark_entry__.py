@@ -5,21 +5,27 @@
   over the sf0.001 tables.
 - ``queries()``: one entry per implemented operator from SURVEY.md §2
   (see pvt_spark/queries.py for the operator mapping in each docstring).
-- ``oracle_sql()``: DuckDB-equivalent SQL for every query except
-  q30 (way interior-point construction is not SQL-expressible; it is
-  pinned by the compose golden + mixed-pipeline tests instead). The
-  Hilbert queries q26-q28 ARE value-checked: the order-32 encode is
-  recomputed inside DuckDB as an unrolled 32-step CTE chain; q25's
-  oracle is the reference's own golden constants.
+- ``oracle_sql()``: DuckDB-equivalent SQL for EVERY query. The
+  Hilbert queries q26-q28 and q30 are value-checked: the order-32
+  encode is recomputed inside DuckDB as an unrolled 32-step CTE chain;
+  q25's oracle is the reference's own golden constants. q30's oracle
+  is input-dependent (the closed rings' interior-point h — the one
+  non-SQL-expressible ladder step — is pinned via a VALUES table
+  computed by the same golden-tested numpy kernel), so its SQL is
+  generated for the driver's compare scale (sf0.01, overridable via
+  SPARK_GRAFT_ORACLE_SF).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from pvt_spark.queries import REGISTRY
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -52,4 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: (sql(ORACLE_SF_DIR) if callable(sql) else sql)
+        for name, (_fn, sql) in REGISTRY.items()
+        if sql is not None
+    }

@@ -52,16 +52,19 @@ def _interior_point(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
     return float(xs[:-1].mean()), cy
 
 
-def _ways_h_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _ways_h_batch(pdf: pd.DataFrame, grid: bool = False) -> pd.DataFrame:
     """One vectorized pass over a batch of COMPLETE ways (rows sorted by
     (feature_id, pos), each way contiguous). Semantics identical to the
     reference ladder (src/sort.rs:262-383): <4 refs -> first ref h;
     closed ring -> polygon interior point; open line -> middle vertex;
-    failure -> median ref h."""
+    failure -> median ref h.
+
+    ``grid=True``: coordinates (cx, cy) are already on the u32 grid, so
+    ring interior points encode via xy2h directly (planar sources)."""
     fid = pdf["feature_id"].to_numpy(dtype=np.int64)
     node_h = pdf["node_h"].to_numpy(dtype=np.int64)
-    xs = pdf["lon_dm7"].to_numpy(dtype=np.float64)
-    ys = pdf["lat_dm7"].to_numpy(dtype=np.float64)
+    xs = pdf["cx"].to_numpy(dtype=np.float64)
+    ys = pdf["cy"].to_numpy(dtype=np.float64)
     n = len(fid)
     offs = np.concatenate([[0], 1 + np.flatnonzero(fid[1:] != fid[:-1]), [n]])
     lens = np.diff(offs)
@@ -88,7 +91,12 @@ def _ways_h_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             except Exception:  # fallback ladder: median ref
                 fallback[j] = True
         if not fallback.all():
-            enc = hb.lonlat_to_signed_h(ixs, iys)
+            if grid:
+                enc = hb.h_to_signed(
+                    hb.xy2h(ixs.astype(np.uint64), iys.astype(np.uint64), 32)
+                )
+            else:
+                enc = hb.lonlat_to_signed_h(ixs, iys)
             ring_h = np.where(fallback, h_out[closed_idx], enc)
         else:
             ring_h = h_out[closed_idx]
@@ -96,7 +104,7 @@ def _ways_h_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"feature_id": way_ids, "h": h_out})
 
 
-def _way_h_stream(batches):
+def _way_h_stream(batches, grid: bool = False):
     """Streaming merge over Arrow batches: a way's rows are contiguous in
     the (feature_id, pos)-sorted partition; hold back the last (possibly
     incomplete) way of each batch until the next arrives."""
@@ -112,25 +120,32 @@ def _way_h_stream(batches):
         carry = pdf[is_last]
         done = pdf[~is_last]
         if not done.empty:
-            yield _ways_h_batch(done)
+            yield _ways_h_batch(done, grid)
     if carry is not None and not carry.empty:
-        yield _ways_h_batch(carry.reset_index(drop=True))
+        yield _ways_h_batch(carry.reset_index(drop=True), grid)
 
 
-def assign_way_h(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+def assign_way_h(
+    ways: DataFrame, nodes: DataFrame, grid_cols: tuple[str, str] | None = None
+) -> DataFrame:
     """ways(feature_id, refs array<long>) x nodes(feature_id, lon_dm7,
     lat_dm7, h) -> ways + h column (J3 join + A2 aggregation).
 
     ONE shuffle (repartition on feature_id) + sorted ``mapInPandas``
     batch processing — no per-way UDF dispatch (the compose phase-1
-    pattern; per-group applyInPandas measured 146s of a 162s build)."""
+    pattern; per-group applyInPandas measured 146s of a 162s build).
+
+    ``grid_cols=(x, y)``: node coordinates are already u32-grid planar
+    (same grid as ``h``); ring interior points then encode via xy2h."""
+    cx, cy = grid_cols if grid_cols is not None else ("lon_dm7", "lat_dm7")
+    grid = grid_cols is not None
     way_nodes = (
         ways.select("feature_id", F.posexplode("refs").alias("pos", "ref_id"))
         .join(
             nodes.select(
                 F.col("feature_id").alias("ref_id"),
-                "lon_dm7",
-                "lat_dm7",
+                F.col(cx).alias("cx"),
+                F.col(cy).alias("cy"),
                 F.col("h").alias("node_h"),
             ),
             "ref_id",
@@ -139,30 +154,43 @@ def assign_way_h(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     hs = (
         way_nodes.repartition("feature_id")
         .sortWithinPartitions("feature_id", "pos")
-        .mapInPandas(_way_h_stream, _WAY_H_SCHEMA)
+        .mapInPandas(lambda it: _way_h_stream(it, grid), _WAY_H_SCHEMA)
     )
     return ways.join(hs, "feature_id", "left")
 
 
-def way_geometry(ways_with_h: DataFrame, nodes: DataFrame) -> DataFrame:
+def way_geometry(
+    ways_with_h: DataFrame,
+    nodes: DataFrame,
+    grid_cols: tuple[str, str] | None = None,
+) -> DataFrame:
     """Resolve each way's ordered ref coordinates into u32-grid arrays:
     ways(feature_id, refs, ...) x nodes(feature_id, lon_dm7, lat_dm7) ->
     + geom_x array<long>, geom_y array<long> (ref order preserved).
 
     Pure JVM-side: explode + equi-join + collect_list(struct(pos,...))
     + array_sort — the relational form of the reference's ref->coord
-    gather (src/hilbert/compose.rs:168-216)."""
+    gather (src/hilbert/compose.rs:168-216).
+
+    ``grid_cols=(x, y)``: node coordinates are already u32-grid planar —
+    used directly, no Mercator projection."""
     from ..functions.geo import grid_x, grid_y
 
-    wn = (
-        ways_with_h.select("feature_id", F.posexplode("refs").alias("pos", "ref_id"))
-        .join(
-            nodes.select(F.col("feature_id").alias("ref_id"), "lon_dm7", "lat_dm7"),
-            "ref_id",
+    if grid_cols is None:
+        node_cols = nodes.select(
+            F.col("feature_id").alias("ref_id"),
+            grid_x(F.col("lon_dm7")).alias("gx"),
+            grid_y(F.col("lat_dm7")).alias("gy"),
         )
-        .withColumn("gx", grid_x(F.col("lon_dm7")))
-        .withColumn("gy", grid_y(F.col("lat_dm7")))
-    )
+    else:
+        node_cols = nodes.select(
+            F.col("feature_id").alias("ref_id"),
+            F.col(grid_cols[0]).alias("gx"),
+            F.col(grid_cols[1]).alias("gy"),
+        )
+    wn = ways_with_h.select(
+        "feature_id", F.posexplode("refs").alias("pos", "ref_id")
+    ).join(node_cols, "ref_id")
     geom = (
         wn.groupBy("feature_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "gx", "gy"))).alias("_pts"))

@@ -18,6 +18,7 @@ is pinned by the golden tests in tests/ instead.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1351,12 +1352,25 @@ FROM documents ORDER BY doc_id
 """
 
 
+_Q30_N_WAYS = 100
+# SQL-expressible group assignment (Knuth multiplicative hash) so the
+# DuckDB oracle reproduces the way partition exactly
+_Q30_GRP = f"(feature_id * 2654435761) % {_Q30_N_WAYS}"
+
+
 def q30_way_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-build compose path (rows-only): derive ways from customer
-    points (hash groups, Hilbert-ordered refs, ring/line mix), assign
-    way h (J3/A2), resolve geometry (J1), run rules + pyramid + the
-    generic salted compose — per-tile layer/feature stats."""
-    from .functions.geo import hilbert_h
+    """Mixed-build compose path, VALUE-ORACLED end-to-end: derive ways
+    from customer grid points (Hilbert-ordered refs, ring/line mix per
+    src/sort.rs:262-383's ladder), assign way h (J3/A2), resolve
+    geometry (J1), run rules + pyramid + the generic salted compose —
+    per-tile layer/feature stats.
+
+    The oracle (``q30_sql``) recomputes every node h with the unrolled
+    32-step Hilbert CTE, re-derives line/small-way h in SQL (middle
+    vertex / first ref), and pins ONLY the closed rings' interior-point
+    h through a VALUES table produced by the same golden-tested numpy
+    kernel (``_interior_point`` + ``xy2h``) the operator runs
+    distributed — the one genuinely non-SQL-expressible step."""
     from .manifest import DEFAULT_MANIFEST, compile_rules
     from .operators.compose import compose_tiles
     from .operators.content import render_content
@@ -1364,11 +1378,11 @@ def q30_way_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.rules import include_tags
     from .sources.ways import synthesize_ways
 
-    pts = _synth_points(spark, sf_dir).withColumn(
-        "h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7"))
+    pts = _grid_points(spark, sf_dir)
+    ways = synthesize_ways(pts, _Q30_N_WAYS, grp=F.expr(_Q30_GRP))
+    feats = way_geometry(
+        assign_way_h(ways, pts, grid_cols=("x", "y")), pts, grid_cols=("x", "y")
     )
-    ways = synthesize_ways(pts, n_ways=100)
-    feats = way_geometry(assign_way_h(ways, pts), pts)
     compiled = compile_rules(DEFAULT_MANIFEST)
     content = render_content(
         feats, DEFAULT_MANIFEST, compiled, carry_cols=["tags", "geom_x", "geom_y"]
@@ -1391,6 +1405,111 @@ def q30_way_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select(
         "zoom", "tile_h", "layer_count", "feature_count"
     ).orderBy("zoom", "tile_h")
+
+
+def _q30_ring_values(sf_dir: str) -> list[tuple[int, int]]:
+    """(g, way_d) for every closed-ring way: the ring interior-point h,
+    computed by the SAME numpy kernel the operator executes distributed
+    (``_interior_point`` + order-32 ``xy2h``; golden-tested in
+    tests/test_hilbert.py and tests/test_ways_compose.py). Driver-side
+    over the customer keys only — the one ladder step no SQL engine can
+    express (reference src/sort.rs:300-352)."""
+    import pyarrow.parquet as pq
+
+    from . import hilbert as hb
+    from .operators.feature_h import _interior_point
+
+    fid = (
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .column("c_custkey")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    x = (fid * 2654435761) % 4294967296
+    y = (fid * 2246822519) % 4294967296
+    g = (fid * 2654435761) % _Q30_N_WAYS
+    d = hb.xy2h(x.astype(np.uint64), y.astype(np.uint64), 32)
+    rows: list[tuple[int, int]] = []
+    for gv in range(0, _Q30_N_WAYS, 2):  # only even groups close into rings
+        idx = np.flatnonzero(g == gv)
+        if len(idx) < 4:
+            continue
+        sel = idx[np.lexsort((fid[idx], d[idx]))]  # refs in (h, id) order
+        xs = np.concatenate([x[sel], x[sel][:1]]).astype(np.float64)
+        ys = np.concatenate([y[sel], y[sel][:1]]).astype(np.float64)
+        try:
+            ix, iy = _interior_point(xs, ys)
+            dv = int(
+                hb.xy2h(
+                    np.array([int(ix)], np.uint64), np.array([int(iy)], np.uint64), 32
+                )[0]
+            )
+        except Exception:  # the ladder's median-ref fallback
+            dv = int(d[sel[len(sel) // 2]])
+        rows.append((gv, dv))
+    return rows
+
+
+def q30_sql(sf_dir: str) -> str:
+    """DuckDB oracle for q30 (see q30_way_tiles docstring): node h via
+    the unrolled Hilbert CTE; way h ladder in SQL except ring interior
+    points (kernel VALUES); rule winners + even-zoom pyramid + per-tile
+    stats exactly as q28's oracle."""
+    pts = (
+        "SELECT c_custkey AS feature_id, "
+        + _GRID_X.format(key="c_custkey")
+        + " AS x, "
+        + _GRID_Y.format(key="c_custkey")
+        + " AS y FROM customer"
+    )
+    ctes, last = _duck_hilbert_ctes(pts)
+    rings = _q30_ring_values(sf_dir)
+    if rings:
+        ring_sql = (
+            "SELECT g, CAST(way_d AS HUGEINT) AS way_d FROM (VALUES "
+            + ", ".join(f"({g}, '{d}'::HUGEINT)" for g, d in rings)
+            + ") AS t(g, way_d)"
+        )
+    else:
+        ring_sql = "SELECT CAST(NULL AS BIGINT) AS g, CAST(NULL AS HUGEINT) AS way_d WHERE 1=0"
+    # rule winners per way kind (g % 4 -> tags, Tag > Value > Key):
+    #   0 highway=primary  -> value match highway_major (6, Roads)
+    #   1 building=yes     -> key match building (12, Buildings)
+    #   2 natural=wood     -> key match natural (8, Nature)
+    #   3 power=line       -> NO match -> no_rule (zoom 12 only)
+    zoom_div = " ".join(
+        f"WHEN {z} THEN CAST('{1 << (2 * (32 - z))}' AS HUGEINT)"
+        for z in range(6, 13, 2)
+    )
+    return f"""
+WITH {ctes},
+memb AS (
+  SELECT p.feature_id, ({_Q30_GRP.replace('feature_id', 'p.feature_id')}) AS g, l.d,
+         row_number() OVER (PARTITION BY ({_Q30_GRP.replace('feature_id', 'p.feature_id')})
+                            ORDER BY l.d, p.feature_id) AS pos,
+         count(*) OVER (PARTITION BY ({_Q30_GRP.replace('feature_id', 'p.feature_id')})) AS cnt
+  FROM ({pts}) p JOIN {last} l USING (feature_id)),
+line_h AS (
+  SELECT g, d AS way_d FROM memb
+  WHERE cnt >= 2 AND (
+        (cnt < 4 AND pos = 1)
+     OR (cnt >= 4 AND g % 2 = 1 AND pos = cnt // 2 + 1))),
+ring_h AS ({ring_sql}),
+wayh AS (SELECT g, way_d FROM line_h UNION ALL SELECT g, way_d FROM ring_h),
+ruled AS (
+  SELECT g, way_d,
+    CASE (g % 4) WHEN 0 THEN 6 WHEN 1 THEN 12 WHEN 2 THEN 8 ELSE 12 END AS minzoom,
+    CASE (g % 4) WHEN 0 THEN 'Roads' WHEN 1 THEN 'Buildings' WHEN 2 THEN 'Nature'
+                 ELSE 'no_rule' END AS layer
+  FROM wayh),
+expanded AS (
+  SELECT g, way_d, layer, unnest(generate_series(minzoom, 12, 2)) AS zoom FROM ruled)
+SELECT CAST(zoom AS INT) AS zoom,
+       CAST(way_d // (CASE zoom {zoom_div} END) AS BIGINT) AS tile_h,
+       CAST(count(DISTINCT layer) AS INT) AS layer_count,
+       count(*) AS feature_count
+FROM expanded GROUP BY zoom, tile_h ORDER BY zoom, tile_h
+"""
 
 
 def q33_raster_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,7 +1616,9 @@ REGISTRY: dict[str, tuple] = {
     "q26_hilbert_leaves": (q26_hilbert_leaves, Q26_SQL),
     "q27_tile_tree": (q27_tile_tree, Q27_SQL),
     "q28_tile_compose": (q28_tile_compose, Q28_SQL),
-    "q30_way_tiles": (q30_way_tiles, None),
+    # q30's oracle is a CALLABLE (sf_dir -> SQL): the ring interior-point
+    # VALUES depend on the input table (see q30_sql docstring)
+    "q30_way_tiles": (q30_way_tiles, q30_sql),
     "q31_ivf_search": (q31_ivf_search, Q31_SQL),
     "q32_bpe_tokens": (q32_bpe_tokens, Q32_SQL),
     "q33_raster_check": (q33_raster_check, Q33_SQL),
@@ -1524,6 +1645,8 @@ def compare_against_oracle(spark: SparkSession, sf_dir: str, names=None) -> dict
             if sql is None:
                 results[name] = {"rows": len(got), "oracle": "rows-only"}
                 continue
+            if callable(sql):  # input-dependent oracle (q30 ring VALUES)
+                sql = sql(sf_dir)
             want = con.execute(sql).df()
             got_s = got[sorted(got.columns)].reset_index(drop=True)
             want_s = want[sorted(want.columns)].reset_index(drop=True)

@@ -22,10 +22,17 @@ _WAY_KINDS = ["highway", "building", "natural", "power"]
 _WAY_VALS = ["primary", "yes", "wood", "line"]
 
 
-def synthesize_ways(points: DataFrame, n_ways: int, seed: int = 7) -> DataFrame:
+def synthesize_ways(
+    points: DataFrame, n_ways: int, seed: int = 7, grp=None
+) -> DataFrame:
     """points(feature_id, h) -> ways(feature_id, refs array<long>,
-    tags map<string,string>) with ring/line mix."""
-    grp = F.pmod(F.xxhash64(F.col("feature_id"), F.lit(seed)), F.lit(n_ways))
+    tags map<string,string>) with ring/line mix.
+
+    ``grp``: optional Column overriding the group assignment (default
+    xxhash64) — lets oracle-checked queries use a grouping both Spark
+    and an external SQL engine can reproduce exactly."""
+    if grp is None:
+        grp = F.pmod(F.xxhash64(F.col("feature_id"), F.lit(seed)), F.lit(n_ways))
     members = points.select(
         F.col("feature_id").alias("ref_id"), grp.alias("g"), "h"
     )

@@ -62,3 +62,15 @@ def test_duckdb_hilbert_reference_goldens():
         np.int64,
     )
     assert (got == want).all()
+
+
+def test_q30_oracle_matches_engine_sf0001(spark):
+    """q30's mixed way-compose path must hash-match its generated oracle
+    (unrolled-Hilbert node h + SQL way-h ladder + kernel-pinned ring
+    interior points) — the driver's q28-shaped value check for ways."""
+    from pvt_spark.queries import compare_against_oracle
+
+    res = compare_against_oracle(
+        spark, "/root/testdata/sf0.001", names={"q30_way_tiles"}
+    )["q30_way_tiles"]
+    assert res.get("match") is True, res
