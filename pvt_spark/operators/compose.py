@@ -32,6 +32,7 @@ per-group Arrow round-trip while keeping identical semantics.
 from __future__ import annotations
 
 import pickle
+import struct
 
 import numpy as np
 import pandas as pd
@@ -39,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import hilbert as hb
-from ..functions.pvt_codec import encode_tile_arrays
+from ..functions.pvt_codec import MAGIC, VERSION, encode_tile_arrays
 from ..tile import tile_project
 from .simplify import DEFAULT_TOLERANCE, simplify_line
 
@@ -392,6 +393,148 @@ def _encode_tile_slices(zoom, tile_h, s, e, layer_rank, layers, hs, fids, n_tags
     return (zoom, tile_h, True, tile_id, len(out_layers), e - s, payload, len(payload), None, None, None)
 
 
+def _encode_final_tiles(tiles, zoom, tile_h, layer_rank, layers, fids, n_tags,
+                        kv_flat, kv_off, pts):
+    """Encode MANY final tiles in one vectorized pass (byte-identical to
+    per-tile ``encode_tile_arrays``, same v2 layout).
+
+    The per-tile encode constant (~35 us: dict interning, ascontiguousarray,
+    struct packs — measured 60% of the fast-path CPU at 2 features/tile)
+    is amortized batch-wide: string interning becomes ONE factorize + two
+    lexsorts over every (tile, string) occurrence in the run, and all
+    fixed-width array sections become byte-slices of run-level buffers.
+    The remaining per-tile loop only joins precomputed byte slices.
+
+    tiles: list of (s, e) global row slices, each a complete final tile;
+    other args are the run-level arrays of ``process_run``.
+    """
+    if not tiles:
+        return []
+    S = np.array([t[0] for t in tiles], dtype=np.int64)
+    E = np.array([t[1] for t in tiles], dtype=np.int64)
+    lens = E - S
+    total = int(lens.sum())
+    # global row index of every final row, tiles concatenated in order
+    cum = np.cumsum(lens)
+    row_idx = np.arange(total) - np.repeat(cum - lens, lens) + np.repeat(S, lens)
+    tile_of_row = np.repeat(np.arange(len(S)), lens)
+
+    # --- layer segments (runs of equal layer_rank within a tile)
+    lr = layer_rank[row_idx]
+    first_of_tile = np.zeros(total, dtype=bool)
+    first_of_tile[np.concatenate([[0], cum[:-1]])] = True
+    seg_flag = first_of_tile.copy()
+    seg_flag[1:] |= lr[1:] != lr[:-1]
+    seg_starts = np.flatnonzero(seg_flag)          # in final-row space
+    seg_ends = np.concatenate([seg_starts[1:], [total]])
+    seg_tile = tile_of_row[seg_starts]
+    n_layers_per_tile = np.bincount(seg_tile, minlength=len(S))
+
+    # --- intern-entry stream: per tile, [name, kv...] per segment in order
+    kvlens = 2 * n_tags[row_idx]
+    kv_total = int(kvlens.sum())
+    fr_kv_off = np.concatenate([[0], np.cumsum(kvlens)])
+    kv_cum = fr_kv_off[1:]
+    # global kv_flat position of every kv occurrence of the final rows
+    kv_pos = (
+        np.arange(kv_total)
+        - np.repeat(kv_cum - kvlens, kvlens)
+        + np.repeat(kv_off[row_idx], kvlens)
+    )
+    # one vocabulary over layer names + kv strings (C-speed factorize)
+    name_strs = layers[row_idx[seg_starts]]
+    comb = np.concatenate([name_strs, kv_flat[kv_pos]]) if kv_total or len(
+        seg_starts
+    ) else np.empty(0, dtype=object)
+    codes_all, vocab = pd.factorize(comb)
+    n_seg = len(seg_starts)
+    name_code = codes_all[:n_seg]
+    kv_code = codes_all[n_seg:]
+    # ordering key replicating upsert order: a segment's name precedes its
+    # kv entries and follows the previous segment's (2*kv_off vs 2*pos+1;
+    # name/name ties — consecutive empty segments — break by segment index)
+    name_key = 2 * kv_off[row_idx[seg_starts]]
+    kv_key = 2 * kv_pos + 1
+    ent_tile = np.concatenate([seg_tile, np.repeat(tile_of_row, kvlens)])
+    ent_key = np.concatenate([name_key, kv_key])
+    ent_tiebreak = np.concatenate([np.arange(n_seg), np.zeros(kv_total, np.int64)])
+    ent_code = np.concatenate([name_code, kv_code])
+
+    V = max(len(vocab), 1)
+    ukey = ent_tile * V + ent_code
+    order1 = np.lexsort((ent_tiebreak, ent_key, ukey))
+    uk_sorted = ukey[order1]
+    first = np.ones(len(uk_sorted), dtype=bool)
+    first[1:] = uk_sorted[1:] != uk_sorted[:-1]
+    idx1 = order1[first]                      # first occurrence per (tile, code)
+    u_ukey = uk_sorted[first]                 # sorted
+    u_tile = ent_tile[idx1]
+    u_code = ent_code[idx1]
+    u_key = ent_key[idx1]
+    u_tb = ent_tiebreak[idx1]
+    order2 = np.lexsort((u_tb, u_key, u_tile))  # intern order within tile
+    nd = len(order2)
+    t2 = u_tile[order2]
+    grp_first = np.zeros(nd, dtype=np.int64)
+    starts2 = np.flatnonzero(np.concatenate([[True], t2[1:] != t2[:-1]]))
+    grp_first[starts2] = starts2
+    np.maximum.accumulate(grp_first, out=grp_first)
+    rank = np.arange(nd) - grp_first
+    rank_of_distinct = np.empty(nd, dtype=np.int64)
+    rank_of_distinct[order2] = rank
+    ent_intern = rank_of_distinct[np.searchsorted(u_ukey, ukey)]
+    name_idx = ent_intern[:n_seg]
+    kv_intern = ent_intern[n_seg:]
+
+    # --- per-tile string tables: codes in intern order + precoded blobs
+    blob = []
+    for s in vocab:
+        b = str(s).encode("utf-8")
+        blob.append(struct.pack("<I", len(b)) + b)
+    codes_by_tile = u_code[order2]
+    str_bounds = np.concatenate([starts2, [nd]])
+    n_strings = np.diff(str_bounds)
+
+    # --- run-level fixed-width buffers; per tile/segment = byte slices
+    ids_b = np.ascontiguousarray(fids, dtype=np.int64).tobytes()
+    ntags_b = np.ascontiguousarray(n_tags, dtype=np.uint16).tobytes()
+    ones_b = np.ones(len(n_tags), dtype=np.uint32).tobytes()
+    pts_b = np.ascontiguousarray(pts, dtype=np.int16).tobytes()
+    kvi_b = kv_intern.astype(np.uint32).tobytes()
+
+    seg_of_tile = np.concatenate([[0], np.cumsum(n_layers_per_tile)])
+    rows = []
+    for ti in range(len(S)):
+        s_, e_ = int(S[ti]), int(E[ti])
+        z, th = int(zoom[s_]), int(tile_h[s_])
+        sb0, sb1 = str_bounds[ti], str_bounds[ti + 1]
+        parts = [
+            MAGIC,
+            struct.pack("<HBxQ", VERSION, z, th),
+            struct.pack("<I", int(n_strings[ti])),
+        ]
+        parts.extend(blob[c] for c in codes_by_tile[sb0:sb1])
+        parts.append(struct.pack("<H", int(n_layers_per_tile[ti])))
+        for si in range(seg_of_tile[ti], seg_of_tile[ti + 1]):
+            a, b = int(seg_starts[si]), int(seg_ends[si])      # final-row space
+            ga, gb = int(row_idx[a]), int(row_idx[b - 1]) + 1  # global rows
+            parts.append(struct.pack("<II", int(name_idx[si]), b - a))
+            parts.append(ids_b[8 * ga : 8 * gb])
+            parts.append(ntags_b[2 * ga : 2 * gb])
+            parts.append(kvi_b[4 * fr_kv_off[a] : 4 * fr_kv_off[b]])
+            parts.append(ones_b[4 * ga : 4 * gb])
+            parts.append(pts_b[4 * ga : 4 * gb])
+        payload = b"".join(parts)
+        tile_id = (
+            (z << 47) | th if th <= 140_737_488_355_327 else th % 4_503_599_627_370_495
+        )
+        rows.append(
+            (z, th, True, tile_id, int(n_layers_per_tile[ti]), e_ - s_, payload,
+             len(payload), None, None, None)
+        )
+    return rows
+
+
 def _chunk_rows_for_tile(zoom, tile_h, s, e, layer_rank, layers, hs, raw_ids, n_tags,
                          kv_flat, kv_off, pts):
     """Boundary tile -> mergeable chunk rows (same format as _chunk_of)."""
@@ -469,6 +612,7 @@ def _phase1_points_stream(
         ) + [n]
         n_tiles = len(tb) - 1
         rows = []
+        final_slices = []
         for i, (s_, e_) in enumerate(zip(tb[:-1], tb[1:])):
             boundary = (
                 (not emit_finals)
@@ -487,12 +631,14 @@ def _phase1_points_stream(
                     )
                 )
             else:
-                rows.append(
-                    _encode_tile_slices(
-                        int(zoom[s_]), int(tile_h[s_]), s_, e_, layer_rank, layers,
-                        hs, fids, n_tags, kv_flat, kv_off, pts,
-                    )
-                )
+                final_slices.append((s_, e_))
+        # all final tiles of the run encode in ONE vectorized pass
+        rows.extend(
+            _encode_final_tiles(
+                final_slices, zoom, tile_h, layer_rank, layers, fids, n_tags,
+                kv_flat, kv_off, pts,
+            )
+        )
         return rows
 
     for pdf in batches:

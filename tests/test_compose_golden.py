@@ -108,3 +108,70 @@ def test_layered_compose_golden(spark):
     assert f0["values"] == GOLDEN_F0_VALUES
     gx, gy = f0["geoms"][0]
     assert (gx[0], gy[0]) == GOLDEN_F0_POINT
+
+
+def test_batched_final_encoder_byte_identical():
+    """The vectorized multi-tile encoder must produce byte-identical
+    payloads to the retained per-tile encoder on randomized batches
+    (variable features/tile, layers, tag counts, shared+unique strings)."""
+    import numpy as np
+    import pandas as pd
+
+    from pvt_spark.operators.compose import (
+        _encode_final_tiles,
+        _encode_tile_slices,
+        _feature_tile_id,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab_k = ["place", "amenity", "highway", "building", "source"]
+    vocab_v = ["city", "bus", "primary", "yes", "crawl"]
+    recs = []
+    for t in range(800):
+        zoom = int(rng.choice([4, 8, 12]))
+        for f in range(rng.randint(1, 7)):
+            ntag = int(rng.randint(0, 4))
+            kv = []
+            for _ in range(ntag):
+                kv += [vocab_k[rng.randint(5)], vocab_v[rng.randint(5)]]
+            recs.append(
+                (zoom, t, int(rng.randint(1, 1 << 40)),
+                 t * 1099511627776 + f, int(rng.randint(0, 3)),
+                 np.array(kv, dtype=object), ntag)
+            )
+    recs.sort(key=lambda r: (r[0], r[1], r[4], r[3], r[2]))
+    run = pd.DataFrame(
+        recs, columns=["zoom", "tile_h", "feature_id", "h", "layer_rank", "kv", "n_tags"]
+    )
+    run["layer"] = run["layer_rank"].map(lambda r: f"layer{r}")
+    n = len(run)
+    zoom = run["zoom"].to_numpy(np.int64)
+    tile_h = run["tile_h"].to_numpy(np.int64)
+    layer_rank = run["layer_rank"].to_numpy(np.int64)
+    layers = run["layer"].to_numpy()
+    hs = run["h"].to_numpy(np.int64)
+    n_tags = run["n_tags"].to_numpy(np.int64)
+    kv_flat = (
+        np.concatenate([np.asarray(k, dtype=object) for k in run["kv"]])
+        if n
+        else np.empty(0, object)
+    )
+    kv_off = np.concatenate([[0], np.cumsum(n_tags * 2)])
+    pts = rng.randint(-4096, 4096, 2 * n).astype(np.int16)
+    fids = _feature_tile_id(zoom, hs)
+    tb = (
+        [0]
+        + list(1 + np.flatnonzero((tile_h[1:] != tile_h[:-1]) | (zoom[1:] != zoom[:-1])))
+        + [n]
+    )
+    slices = list(zip(tb[:-1], tb[1:]))
+    batched = _encode_final_tiles(
+        slices, zoom, tile_h, layer_rank, layers, fids, n_tags, kv_flat, kv_off, pts
+    )
+    assert len(batched) == len(slices)
+    for row, (s, e) in zip(batched, slices):
+        old = _encode_tile_slices(
+            int(zoom[s]), int(tile_h[s]), s, e, layer_rank, layers, hs, fids,
+            n_tags, kv_flat, kv_off, pts,
+        )
+        assert row[:8] == old[:8], (row[:2], old[:2])
