@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from .. import hilbert as hb
 
@@ -207,13 +207,176 @@ def relation_point_geometry(relations_with_h: DataFrame) -> DataFrame:
     """Relations render as a single point at their mean-h location
     (divergence note: the reference ships with relation rendering
     disabled due to a known bug, src/hilbert/leaf.rs:155-166; we render
-    the A1 mean-h location as a point feature instead)."""
+    the A1 mean-h location as a point feature instead — or assemble
+    full member-way rings via ``relation_ring_geometry``)."""
     from ..functions.geo import hilbert_h_to_grid_xy
 
     g = relations_with_h.withColumn("_g", hilbert_h_to_grid_xy(F.col("h")))
     return g.withColumn("geom_x", F.array(F.col("_g.gx"))).withColumn(
         "geom_y", F.array(F.col("_g.gy"))
     ).drop("_g")
+
+
+# --- multipolygon assembly from member ways ---------------------------------
+
+_REL_GEOM_SCHEMA = StructType(
+    [
+        StructField("feature_id", LongType()),
+        StructField("geom_x", ArrayType(LongType())),
+        StructField("geom_y", ArrayType(LongType())),
+    ]
+)
+
+
+def _assemble_rings(arrs):
+    """Member-way coordinate arrays -> (closed rings, leftover chains).
+
+    Closed member ways are rings directly; open ways stitch end-to-end
+    (either orientation) until closed or stuck — the standard OSM
+    multipolygon assembly. Chains that never close render as lines."""
+    rings, opens = [], []
+    for xs, ys in arrs:
+        xs = np.asarray(xs, dtype=np.int64)
+        ys = np.asarray(ys, dtype=np.int64)
+        if len(xs) >= 4 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+            rings.append((xs, ys))
+        else:
+            opens.append((xs, ys))
+    lines = []
+    while opens:
+        cx, cy = opens.pop(0)
+        extended = True
+        while extended and not (
+            len(cx) >= 4 and cx[0] == cx[-1] and cy[0] == cy[-1]
+        ):
+            extended = False
+            for i, (ox, oy) in enumerate(opens):
+                if cx[-1] == ox[0] and cy[-1] == oy[0]:
+                    cx, cy = np.concatenate([cx, ox[1:]]), np.concatenate([cy, oy[1:]])
+                elif cx[-1] == ox[-1] and cy[-1] == oy[-1]:
+                    cx, cy = (
+                        np.concatenate([cx, ox[-2::-1]]),
+                        np.concatenate([cy, oy[-2::-1]]),
+                    )
+                elif cx[0] == ox[-1] and cy[0] == oy[-1]:
+                    cx, cy = np.concatenate([ox[:-1], cx]), np.concatenate([oy[:-1], cy])
+                elif cx[0] == ox[0] and cy[0] == oy[0]:
+                    cx, cy = (
+                        np.concatenate([ox[::-1][:-1], cx]),
+                        np.concatenate([oy[::-1][:-1], cy]),
+                    )
+                else:
+                    continue
+                opens.pop(i)
+                extended = True
+                break
+        if len(cx) >= 4 and cx[0] == cx[-1] and cy[0] == cy[-1]:
+            rings.append((cx, cy))
+        else:
+            lines.append((cx, cy))
+    return rings, lines
+
+
+def _orient_rings(rings):
+    """Normalize winding per P15 (y-down grid space: positive shoelace
+    area = CW = outer, negative = hole, functions/client.py:28-46).
+    Without member roles, a ring is a hole iff it lies inside the
+    largest-area ring; everything else is an outer."""
+    if not rings:
+        return []
+
+    def area(xs, ys):
+        xf = xs.astype(np.float64)
+        yf = ys.astype(np.float64)
+        return 0.5 * float(np.sum(xf[:-1] * yf[1:] - xf[1:] * yf[:-1]))
+
+    from .pip import _ray_cast
+
+    areas = [area(*r) for r in rings]
+    outer_i = int(np.argmax(np.abs(areas)))
+    oring = np.column_stack(rings[outer_i]).astype(np.float64)
+    out = []
+    for i, ((xs, ys), a) in enumerate(zip(rings, areas)):
+        if i == outer_i:
+            want_pos = True
+        else:
+            inside = bool(
+                _ray_cast(
+                    np.array([float(xs[0])]), np.array([float(ys[0])]), oring
+                )[0]
+            )
+            want_pos = not inside
+        if (a >= 0) != want_pos:
+            xs, ys = xs[::-1], ys[::-1]
+        out.append((xs, ys))
+    return out
+
+
+def _rel_rings_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for fid, grp in pdf.groupby("feature_id", sort=False):
+        rings, lines = _assemble_rings(list(zip(grp["geom_x"], grp["geom_y"])))
+        for xs, ys in _orient_rings(rings):
+            rows.append((fid, xs.tolist(), ys.tolist()))
+        for xs, ys in lines:
+            rows.append((fid, xs.tolist(), ys.tolist()))
+    return pd.DataFrame(rows, columns=["feature_id", "geom_x", "geom_y"])
+
+
+def _rel_geom_stream(batches):
+    """Carry-buffered streaming merge (a relation's member rows are
+    contiguous in the (feature_id, pos)-sorted partition)."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if pdf.empty:
+            continue
+        last = pdf["feature_id"].iloc[-1]
+        is_last = pdf["feature_id"] == last
+        carry = pdf[is_last]
+        done = pdf[~is_last]
+        if not done.empty:
+            yield _rel_rings_batch(done)
+    if carry is not None and not carry.empty:
+        yield _rel_rings_batch(carry.reset_index(drop=True))
+
+
+def relation_ring_geometry(
+    relations_with_h: DataFrame, ways_with_geom: DataFrame
+) -> DataFrame:
+    """Full relation geometry: assemble member ways' coordinate arrays
+    (J1 output) into ordered outer/hole rings, winding-normalized via
+    P15 — the 'fixed semantics' upgrade of the reference's disabled
+    relation rendering (src/hilbert/leaf.rs:155-166). One output row per
+    assembled ring (or unclosed chain, rendered as a line); relations
+    with no way-member geometry fall back to the mean-h point.
+
+    Same distributed shape as assign_way_h: explode + equi-join +
+    ONE repartition + sorted streaming mapInPandas."""
+    mem = (
+        relations_with_h.select(
+            "feature_id", F.posexplode("members").alias("pos", "m")
+        )
+        .where(F.col("m.etype") == F.lit("w"))
+        .select("feature_id", "pos", F.col("m.ref").alias("ref_id"))
+    )
+    wg = ways_with_geom.select(
+        F.col("feature_id").alias("ref_id"), "geom_x", "geom_y"
+    )
+    ring_rows = (
+        mem.join(wg, "ref_id")
+        .select("feature_id", "pos", "geom_x", "geom_y")
+        .repartition("feature_id")
+        .sortWithinPartitions("feature_id", "pos")
+        .mapInPandas(_rel_geom_stream, _REL_GEOM_SCHEMA)
+    )
+    with_rings = relations_with_h.join(ring_rows, "feature_id")
+    no_geom = relations_with_h.join(
+        ring_rows.select("feature_id").distinct(), "feature_id", "left_anti"
+    )
+    return with_rings.unionByName(relation_point_geometry(no_geom))
 
 
 def assign_relation_h(

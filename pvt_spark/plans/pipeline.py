@@ -49,6 +49,7 @@ from ..operators.feature_h import (
     assign_relation_h,
     assign_way_h,
     relation_point_geometry,
+    relation_ring_geometry,
     way_geometry,
 )
 from ..operators.geotag import pages_to_points
@@ -87,6 +88,11 @@ class BuildConfig:
     # (sources/ways.py) when the caller passes no way/relation tables
     synth_ways: int = 0
     synth_relations: int = 0
+    # "point": render each relation at its mean-h (the reference ships
+    # with relation rendering disabled, src/hilbert/leaf.rs:155-166);
+    # "rings": assemble member ways into winding-normalized
+    # outer/hole rings (relation_ring_geometry — the fixed semantics)
+    relation_geometry: str = "point"
     manifest: Manifest = field(default_factory=lambda: DEFAULT_MANIFEST)
 
     def fingerprint(self) -> str:
@@ -99,6 +105,7 @@ class BuildConfig:
                 "salt_threshold": self.salt_threshold,
                 "synth_ways": self.synth_ways,
                 "synth_relations": self.synth_relations,
+                "relation_geometry": self.relation_geometry,
                 "manifest": [m.leaf_zoom, m.layer_order, sorted(m.rules)],
             },
             sort_keys=True,
@@ -306,14 +313,16 @@ def build_planet(
         if src_rels is None and config.synth_relations > 0:
             src_rels = synthesize_relations(way_feats, config.synth_relations)
         if src_rels is not None:
+            def _rel_geom() -> DataFrame:
+                rel_h = assign_relation_h(src_rels, points_sorted, way_feats).where(
+                    F.col("h").isNotNull()
+                )
+                if config.relation_geometry == "rings":
+                    return relation_ring_geometry(rel_h, way_feats)
+                return relation_point_geometry(rel_h)
+
             rel_feats = stage("relation_features").run(
-                spark,
-                lambda: relation_point_geometry(
-                    assign_relation_h(src_rels, points_sorted, way_feats).where(
-                        F.col("h").isNotNull()
-                    )
-                ),
-                inputs=["points_sorted", "way_features"],
+                spark, _rel_geom, inputs=["points_sorted", "way_features"]
             )
 
         # 1c. external leaf membership (J5/J6): leaves a way/relation's
@@ -351,7 +360,9 @@ def build_planet(
         ents = points_sorted.select("h", F.lit("n").alias("entity"))
         ents = ents.unionByName(way_feats.select("h", F.lit("w").alias("entity")))
         if rel_feats is not None:
-            ents = ents.unionByName(rel_feats.select("h", F.lit("r").alias("entity")))
+            # ring mode emits one row PER RING; the tree counts relations
+            rels = rel_feats.select("feature_id", "h").dropDuplicates(["feature_id"])
+            ents = ents.unionByName(rels.select("h", F.lit("r").alias("entity")))
         return build_tile_tree(
             build_leaves(ents, config.leaf_zoom, entity_col="entity"),
             config.leaf_zoom,

@@ -90,3 +90,78 @@ def test_mixed_build_resumes(spark):
         assert t1 == t2
         lineage = os.path.join(tmp, "planet", "way_features", "_lineage.json")
         assert os.path.exists(lineage)
+
+
+def test_relation_ring_geometry_multipolygon(spark):
+    """A multipolygon relation assembles member ways into winding-
+    normalized rings: two open ways stitch into the outer square
+    (positive P15 area = CW in y-down grid space), a closed member way
+    inside it becomes the hole (negative area), and an unconnected open
+    member renders as a line."""
+    import numpy as np
+
+    from pvt_spark.functions.client import signed_ring_area
+    from pvt_spark.operators.feature_h import relation_ring_geometry
+
+    ways = spark.createDataFrame(
+        [
+            (1, [0, 100, 100], [0, 0, 100]),            # outer half A
+            (2, [100, 0, 0], [100, 100, 0]),            # outer half B
+            (3, [40, 60, 60, 40, 40], [40, 40, 60, 60, 40]),  # hole (closed)
+            (4, [500, 600], [500, 600]),                # dangling line
+        ],
+        "feature_id long, geom_x array<long>, geom_y array<long>",
+    )
+    rels = spark.createDataFrame(
+        [
+            (
+                10,
+                [("w", 1), ("w", 2), ("w", 3), ("w", 4)],
+                {"place": "region"},
+                777,
+            ),
+            (11, [("n", 99)], {"place": "region"}, 888),  # no way members
+        ],
+        "feature_id long, members array<struct<etype string, ref long>>, "
+        "tags map<string,string>, h long",
+    )
+    out = relation_ring_geometry(rels, ways).collect()
+    by_rel = {}
+    for r in out:
+        by_rel.setdefault(r.feature_id, []).append(
+            (np.array(r.geom_x), np.array(r.geom_y))
+        )
+    geoms = by_rel[10]
+    def _closed(gx, gy):
+        return len(gx) >= 4 and gx[0] == gx[-1] and gy[0] == gy[-1]
+
+    rings = [(gx, gy) for gx, gy in geoms if _closed(gx, gy)]
+    lines = [(gx, gy) for gx, gy in geoms if not _closed(gx, gy) and len(gx) > 1]
+    assert len(rings) == 2 and len(lines) == 1
+    areas = sorted(signed_ring_area(gx, gy) for gx, gy in rings)
+    assert areas[0] == -400.0 and areas[1] == 10000.0  # hole CW-neg, outer pos
+    # relation with no way members falls back to the mean-h point
+    assert len(by_rel[11]) == 1 and len(by_rel[11][0][0]) == 1
+
+
+def test_mixed_build_relation_rings_mode(spark):
+    """build_planet with relation_geometry='rings' renders relations with
+    assembled ring geometry (size > 1) where member ways close, and the
+    tree still counts each relation once."""
+    with tempfile.TemporaryDirectory() as tmp:
+        pages = synthesize_pages(spark, 4000, seed=42)
+        cfg = BuildConfig(
+            leaf_zoom=12, synth_ways=60, synth_relations=8,
+            relation_geometry="rings",
+        )
+        out = build_planet(spark, pages, os.path.join(tmp, "planet"), cfg)
+        rf = out["relation_features"]
+        n_rels = rf.select("feature_id").distinct().count()
+        assert n_rels == 8
+        # at least one relation assembled real (multi-point) geometry
+        assert rf.where(F.size("geom_x") > 1).count() > 0
+        # every geometry row is x/y-consistent
+        assert rf.where(F.size("geom_x") != F.size("geom_y")).count() == 0
+        # tree r_count counts relations, not rings
+        leaves = out["leaves"]
+        assert leaves.agg(F.sum("r_count")).first()[0] == n_rels
