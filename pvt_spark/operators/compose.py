@@ -228,6 +228,80 @@ _TILE_COLS = [
 ]
 
 
+def _merge_tiles_batch(done: pd.DataFrame, layer_order: list[str]) -> list[tuple]:
+    """Merge MANY tiles' chunks in one vectorized pass (same output as
+    per-tile ``_merge_tile_rows``, which is retained as the semantic
+    reference and equivalence-test oracle).
+
+    ``done`` holds complete tiles' chunk rows sorted by (zoom, tile_h,
+    layer, salt). All chunks decode up front; per-feature arrays
+    concatenate once; ONE global lexsort restores (tile, layer-order,
+    h, id); var-length kv/pts blocks gather once; payload assembly runs
+    through the generalized batched encoder."""
+    layer_rank = {name: i for i, name in enumerate(layer_order)}
+    chunks = [pickle.loads(c) for c in done["chunk"]]
+    cz = done["zoom"].to_numpy(dtype=np.int64)
+    cth = done["tile_h"].to_numpy(dtype=np.int64)
+    cl = done["layer"].to_numpy()
+    nfeat = np.fromiter((len(c["ids"]) for c in chunks), np.int64, count=len(chunks))
+    tile_change = np.ones(len(cz), dtype=bool)
+    tile_change[1:] = (cz[1:] != cz[:-1]) | (cth[1:] != cth[:-1])
+    tile_of_chunk = np.cumsum(tile_change) - 1
+    # layer order key: manifest rank, then name (lexicographic) for
+    # layers beyond the manifest — mirrors _merge_tile_rows' sorted()
+    uniq_names = np.unique(cl)
+    name_key = np.searchsorted(uniq_names, cl)
+    rank_key = np.fromiter(
+        (layer_rank.get(l, len(layer_rank)) for l in cl), np.int64, count=len(cl)
+    )
+    lkey_chunk = rank_key * (len(uniq_names) + 1) + name_key
+
+    ids = np.concatenate([c["ids"] for c in chunks])
+    hs = np.concatenate([c["h"] for c in chunks])
+    n_tags = np.concatenate([c["n_tags"] for c in chunks]).astype(np.int64)
+    geom_lens = np.concatenate([c["geom_lens"] for c in chunks]).astype(np.int64)
+    kv_flat = (
+        np.concatenate([np.asarray(c["kv"], dtype=object) for c in chunks])
+        if chunks
+        else np.empty(0, dtype=object)
+    )
+    pts = np.concatenate([c["pts"] for c in chunks])
+
+    f_tile = np.repeat(tile_of_chunk, nfeat)
+    f_lkey = np.repeat(lkey_chunk, nfeat)
+    f_name = np.repeat(cl, nfeat)
+    order = np.lexsort((ids, hs, f_lkey, f_tile))
+
+    kv_off_in = np.concatenate([[0], np.cumsum(n_tags * 2)])[:-1]
+    pt_off_in = np.concatenate([[0], np.cumsum(geom_lens * 2)])[:-1]
+    kv_idx = _gather_varlen(order, n_tags * 2, kv_off_in)
+    pts_idx = _gather_varlen(order, geom_lens * 2, pt_off_in)
+
+    f_tile_o = f_tile[order]
+    hs_o = hs[order]
+    n_tags_o = n_tags[order]
+    geom_lens_o = geom_lens[order]
+    zoom_of_tile = cz[tile_change]
+    th_of_tile = cth[tile_change]
+    zoom_o = zoom_of_tile[f_tile_o]
+    th_o = th_of_tile[f_tile_o]
+    fids_o = _feature_tile_id(zoom_o, hs_o)
+    kv_flat_o = kv_flat[kv_idx] if len(kv_idx) else np.empty(0, dtype=object)
+    pts_o = pts[pts_idx] if len(pts_idx) else np.empty(0, np.int16)
+    kv_off_o = np.concatenate([[0], np.cumsum(n_tags_o * 2)])
+
+    tb = np.concatenate(
+        [[0], 1 + np.flatnonzero(f_tile_o[1:] != f_tile_o[:-1]), [len(order)]]
+    )
+    slices = list(zip(tb[:-1], tb[1:]))
+    rows = _encode_final_tiles(
+        slices, zoom_o, th_o, f_lkey[order], f_name[order], fids_o, n_tags_o,
+        kv_flat_o, kv_off_o, pts_o, geom_lens=geom_lens_o,
+    )
+    # UNIFIED row -> TILE row (drop the final flag + chunk columns)
+    return [(r[0], r[1], r[3], r[4], r[5], r[6], r[7]) for r in rows]
+
+
 def _phase2_stream(batches, layer_order: list[str]):
     """Streaming merge: a tile's chunks are contiguous in the sorted
     partition; hold back the last (possibly incomplete) tile of each
@@ -246,15 +320,15 @@ def _phase2_stream(batches, layer_order: list[str]):
         done = pdf[~is_last]
         if done.empty:
             continue
-        rows = [
-            _merge_tile_rows(int(z), int(th), grp, layer_order)
-            for (z, th), grp in done.groupby(["zoom", "tile_h"], sort=False)
-        ]
-        yield pd.DataFrame(rows, columns=_TILE_COLS)
+        yield pd.DataFrame(
+            _merge_tiles_batch(done.reset_index(drop=True), layer_order),
+            columns=_TILE_COLS,
+        )
     if carry is not None and not carry.empty:
-        z = int(carry["zoom"].iloc[0])
-        th = int(carry["tile_h"].iloc[0])
-        yield pd.DataFrame([_merge_tile_rows(z, th, carry, layer_order)], columns=_TILE_COLS)
+        yield pd.DataFrame(
+            _merge_tiles_batch(carry.reset_index(drop=True), layer_order),
+            columns=_TILE_COLS,
+        )
 
 
 def geometry_chunks(
@@ -394,7 +468,7 @@ def _encode_tile_slices(zoom, tile_h, s, e, layer_rank, layers, hs, fids, n_tags
 
 
 def _encode_final_tiles(tiles, zoom, tile_h, layer_rank, layers, fids, n_tags,
-                        kv_flat, kv_off, pts):
+                        kv_flat, kv_off, pts, geom_lens=None):
     """Encode MANY final tiles in one vectorized pass (byte-identical to
     per-tile ``encode_tile_arrays``, same v2 layout).
 
@@ -407,6 +481,10 @@ def _encode_final_tiles(tiles, zoom, tile_h, layer_rank, layers, fids, n_tags,
 
     tiles: list of (s, e) global row slices, each a complete final tile;
     other args are the run-level arrays of ``process_run``.
+    ``geom_lens=None`` means single-point features (the fast path);
+    otherwise it carries per-feature point counts and ``pts`` is the
+    correspondingly var-length interleaved coordinate buffer (the
+    batched phase-2 merge path).
     """
     if not tiles:
         return []
@@ -498,7 +576,12 @@ def _encode_final_tiles(tiles, zoom, tile_h, layer_rank, layers, fids, n_tags,
     # --- run-level fixed-width buffers; per tile/segment = byte slices
     ids_b = np.ascontiguousarray(fids, dtype=np.int64).tobytes()
     ntags_b = np.ascontiguousarray(n_tags, dtype=np.uint16).tobytes()
-    ones_b = np.ones(len(n_tags), dtype=np.uint32).tobytes()
+    if geom_lens is None:
+        glens_b = np.ones(len(n_tags), dtype=np.uint32).tobytes()
+        pt_off = None  # 1 point/feature: pts slice == row slice
+    else:
+        glens_b = np.ascontiguousarray(geom_lens, dtype=np.uint32).tobytes()
+        pt_off = np.concatenate([[0], np.cumsum(geom_lens, dtype=np.int64)])
     pts_b = np.ascontiguousarray(pts, dtype=np.int16).tobytes()
     kvi_b = kv_intern.astype(np.uint32).tobytes()
 
@@ -522,8 +605,11 @@ def _encode_final_tiles(tiles, zoom, tile_h, layer_rank, layers, fids, n_tags,
             parts.append(ids_b[8 * ga : 8 * gb])
             parts.append(ntags_b[2 * ga : 2 * gb])
             parts.append(kvi_b[4 * fr_kv_off[a] : 4 * fr_kv_off[b]])
-            parts.append(ones_b[4 * ga : 4 * gb])
-            parts.append(pts_b[4 * ga : 4 * gb])
+            parts.append(glens_b[4 * ga : 4 * gb])
+            if pt_off is None:
+                parts.append(pts_b[4 * ga : 4 * gb])
+            else:
+                parts.append(pts_b[4 * pt_off[ga] : 4 * pt_off[gb]])
         payload = b"".join(parts)
         tile_id = (
             (z << 47) | th if th <= 140_737_488_355_327 else th % 4_503_599_627_370_495

@@ -175,3 +175,60 @@ def test_batched_final_encoder_byte_identical():
             n_tags, kv_flat, kv_off, pts,
         )
         assert row[:8] == old[:8], (row[:2], old[:2])
+
+
+def test_batched_phase2_merge_byte_identical():
+    """The vectorized multi-tile chunk merge must match the retained
+    per-tile merge (layer ordering incl. off-manifest names, salt
+    interleave, var-length geometry, payload bytes) on randomized input."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from pvt_spark.operators.compose import _merge_tile_rows, _merge_tiles_batch
+
+    rng = np.random.RandomState(11)
+    layer_order = ["no_rule", "Places", "Roads", "Buildings"]
+    rows = []
+    for t in range(600):
+        zoom = int(rng.choice([4, 8, 12]))
+        n_layers = rng.randint(1, 4)
+        lnames = rng.choice(
+            ["Places", "Roads", "Zeta", "Alpha", "no_rule"], n_layers, replace=False
+        )
+        for ln in lnames:
+            for salt in range(rng.randint(1, 3)):
+                nf = rng.randint(1, 5)
+                geom_lens = rng.randint(1, 6, nf).astype(np.int64)
+                n_tags = rng.randint(0, 3, nf).astype(np.int64)
+                kv = []
+                for ntg in n_tags:
+                    for _ in range(ntg):
+                        kv += [f"k{rng.randint(4)}", f"v{rng.randint(4)}"]
+                pts = rng.randint(-4096, 4096, int(2 * geom_lens.sum())).astype(np.int16)
+                chunk = pickle.dumps(
+                    {
+                        "ids": rng.randint(1, 1 << 40, nf).astype(np.int64),
+                        "h": np.sort(rng.randint(1, 1 << 60, nf)).astype(np.int64),
+                        "n_tags": n_tags,
+                        "kv": kv,
+                        "geom_lens": geom_lens,
+                        "pts": pts,
+                    },
+                    protocol=4,
+                )
+                rows.append((zoom, t, salt, ln, nf, chunk))
+    rows.sort(key=lambda r: (r[0], r[1], r[3], r[2]))
+    done = pd.DataFrame(
+        rows, columns=["zoom", "tile_h", "salt", "layer", "n_features", "chunk"]
+    )
+    old = [
+        _merge_tile_rows(int(z), int(th), grp, layer_order)
+        for (z, th), grp in done.groupby(["zoom", "tile_h"], sort=False)
+    ]
+    new = _merge_tiles_batch(done.reset_index(drop=True), layer_order)
+    assert len(old) == len(new)
+    for o, n in zip(old, new):
+        assert tuple(o[:5]) == tuple(n[:5])
+        assert bytes(o[5]) == bytes(n[5]) and o[6] == n[6]
