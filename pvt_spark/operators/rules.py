@@ -165,33 +165,48 @@ def evaluate_rules_inline(
         return F.when(cand["mtype"] < acc["mtype"], cand).otherwise(acc)
 
     folded = F.aggregate(tags_arr, zero, step)
-    out = features.withColumn("eval_i", folded["eval_i"])
 
     # eval metadata as literal arrays indexed by eval_i (1-based element_at)
-    evals = compiled.evals
-    meta = F.element_at(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(name).alias("rule"),
-                    _str_array_literal(layers).alias("layers"),
-                    F.lit(mn).alias("minzoom"),
-                    F.lit(mx).alias("maxzoom"),
-                    F.lit(ik).alias("include_kind"),
-                    _str_array_literal(iks).alias("include_keys"),
-                )
-                for (name, layers, mn, mx, ik, iks) in evals
-            ]
-        ),
-        F.col("eval_i") + 1,
+    meta_arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                _str_array_literal(layers).alias("layers"),
+                F.lit(mn).alias("minzoom"),
+                F.lit(mx).alias("maxzoom"),
+                F.lit(ik).alias("include_kind"),
+                _str_array_literal(iks).alias("include_keys"),
+            )
+            for (name, layers, mn, mx, ik, iks) in compiled.evals
+        ]
     )
-    return (
-        out.withColumn("rule", meta["rule"])
-        .withColumn("layers", meta["layers"])
-        .withColumn("minzoom", meta["minzoom"])
-        .withColumn("maxzoom", meta["maxzoom"])
-        .withColumn("include_kind", meta["include_kind"])
-        .withColumn("include_keys", meta["include_keys"])
+    # ONE-SHOT evaluation barrier. Emitting the 7 output columns as
+    # separate expressions re-evaluates the fold per column — and worse,
+    # per EXPLODED row once visible_zooms runs (measured 10x the cost of
+    # fold + explode separately). The fold binds ONCE inside a
+    # single-element transform lambda; the combined struct lands in one
+    # projection whose attribute is non-cheap and multiply-referenced,
+    # which CollapseProject will not inline — so downstream columns are
+    # plain field extractions.
+    combo = F.element_at(
+        F.transform(
+            F.array(folded),
+            lambda w: F.struct(
+                w["eval_i"].alias("eval_i"),
+                F.element_at(meta_arr, w["eval_i"] + 1).alias("m"),
+            ),
+        ),
+        1,
+    )
+    return features.withColumn("_ev", combo).select(
+        *[F.col(c) for c in features.columns],
+        F.col("_ev.eval_i").alias("eval_i"),
+        F.col("_ev.m.rule").alias("rule"),
+        F.col("_ev.m.layers").alias("layers"),
+        F.col("_ev.m.minzoom").alias("minzoom"),
+        F.col("_ev.m.maxzoom").alias("maxzoom"),
+        F.col("_ev.m.include_kind").alias("include_kind"),
+        F.col("_ev.m.include_keys").alias("include_keys"),
     )
 
 
