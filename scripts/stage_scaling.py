@@ -49,9 +49,12 @@ print("RESULT", json.dumps({{"wall": wall, "stages": stages}}))
 def run_pinned(master: str, cores: int, pages: int, root: str, warm: bool) -> dict:
     script = RUNNER.format(repo=REPO, master=master, pages=pages, root=root)
     cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
+    env = dict(os.environ)
+    # size the session for the measured width (same as scaling_bench.py)
+    env["SPARK_GRAFT_CPUS"] = str(cores)
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, "-u", "-c", script],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True, check=True, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT"):
