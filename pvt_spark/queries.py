@@ -666,13 +666,18 @@ def q20_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (docs,) = load(spark, sf_dir, "documents")
     sh = docs.select("doc_id", F.explode(F.expr(_shingles_expr_spark())).alias("shingle"))
+    # hash each shingle ONCE below the aggregate: the 8 permutation
+    # aggregates would otherwise each embed (and re-evaluate) the
+    # md5+hex-parse per row; the multiply-referenced non-cheap projection
+    # is kept by CollapseProject, so md5 runs once per shingle
     x = "cast(conv(substring(md5(shingle), 1, 14), 16, 10) as bigint)"
+    hashed = sh.select("doc_id", F.expr(x).alias("x"))
     p = 1_152_921_504_606_846_989  # prime < 2^60
     aggs = [
-        F.min(F.expr(f"(({a} * {x}) % {p} + {a * 7919}) % {p}")).alias(f"mh{a}")
+        F.min(F.expr(f"(({a} * x) % {p} + {a * 7919}) % {p}")).alias(f"mh{a}")
         for a in range(1, 9)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return hashed.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
 _DX = "('0x' || substring(md5(shingle), 1, 14))::BIGINT"
