@@ -407,11 +407,15 @@ def build_planet(
     # tree / content / content_mp are INDEPENDENT given their inputs —
     # run them as concurrent Spark jobs (separate driver threads): the
     # small tree rollup and the content shuffle fill each other's idle
-    # cores / stage tails instead of serializing their fixed commit costs
+    # cores / stage tails instead of serializing their fixed commit costs.
+    # PVT_SERIAL_STAGES=1 serializes them (one pool worker) so per-stage
+    # lineage walls measure each stage's OWN plan, not co-scheduling —
+    # used by scripts/stage_scaling.py for clean per-stage efficiency
     from concurrent.futures import ThreadPoolExecutor
 
+    serial = bool(os.environ.get("PVT_SERIAL_STAGES"))
     content_mp = None
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=1 if serial else 3) as pool:
         f_tree = pool.submit(
             stage("tile_tree").run, spark, _tree, None, ["points_sorted"]
         )
@@ -474,7 +478,7 @@ def build_planet(
             c = c.unionByName(content_mp.select("zoom", "tile_h", "feature_id"))
         return tile_manifest(c)
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=1 if serial else 2) as pool:
         f_tiles = pool.submit(
             stage("tiles").run,
             spark,

@@ -46,12 +46,19 @@ print("RESULT", json.dumps({{"wall": wall, "stages": stages}}))
 """
 
 
-def run_pinned(master: str, cores: int, pages: int, root: str, warm: bool) -> dict:
+def run_pinned(
+    master: str, cores: int, pages: int, root: str, warm: bool,
+    offset: int = 0, serial: bool = False,
+) -> dict:
     script = RUNNER.format(repo=REPO, master=master, pages=pages, root=root)
-    cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
+    cpu_list = f"{offset}-{offset + cores - 1}" if cores > 1 else str(offset)
     env = dict(os.environ)
     # size the session for the measured width (same as scaling_bench.py)
     env["SPARK_GRAFT_CPUS"] = str(cores)
+    if serial:
+        # serialize the pipeline's concurrent stage pools so each stage's
+        # lineage wall measures its own plan, not co-scheduling
+        env["PVT_SERIAL_STAGES"] = "1"
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, "-u", "-c", script],
         capture_output=True, text=True, check=True, env=env,
@@ -70,8 +77,14 @@ def main() -> None:
     ap.add_argument("--mode", default="local", choices=["local", "local-cluster"])
     ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--exec-mem", type=int, default=4096)
+    ap.add_argument("--cpu-offset", type=int, default=0,
+                    help="first CPU to pin to (keeps clear of other pinned runs)")
+    ap.add_argument("--serial", action="store_true",
+                    help="serialize concurrent stages for clean per-stage walls")
+    ap.add_argument("--root", default=None)
     args = ap.parse_args()
-    root = tempfile.mkdtemp(prefix="pvt_stagescale_")
+    root = args.root or tempfile.mkdtemp(prefix="pvt_stagescale_")
+    os.makedirs(root, exist_ok=True)
 
     def master_for(cores: int) -> str:
         if args.mode == "local":
@@ -81,8 +94,11 @@ def main() -> None:
 
     res = {}
     for cores in (args.high, args.low):
-        run_pinned(master_for(cores), cores, 20_000, root, warm=True)  # warmup
-        res[cores] = run_pinned(master_for(cores), cores, args.pages, root, warm=False)
+        run_pinned(master_for(cores), cores, 20_000, root, warm=True,
+                   offset=args.cpu_offset, serial=args.serial)  # warmup
+        res[cores] = run_pinned(master_for(cores), cores, args.pages, root,
+                                warm=False, offset=args.cpu_offset,
+                                serial=args.serial)
     lo, hi = res[args.low], res[args.high]
     eff = (lo["wall"] * args.low) / (hi["wall"] * args.high)
     rows = []
