@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from .. import hilbert as hb
 from ..functions.pvt_codec import MAGIC, VERSION, encode_tile_arrays
 from ..tile import tile_project
-from .simplify import DEFAULT_TOLERANCE, simplify_line
+from .simplify import DEFAULT_TOLERANCE, simplify_many
 
 CHUNK_SCHEMA = (
     "zoom int, tile_h long, salt int, layer string, n_features long, chunk binary"
@@ -77,8 +77,10 @@ def _tile_origin_xy(zoom: np.ndarray, tile_h: np.ndarray):
 
 
 def _project_batch(pdf: pd.DataFrame, tolerance: float):
-    """Project + simplify every geometry in the batch; returns per-row
-    int16 coordinate arrays (lists) and lengths."""
+    """Project + simplify every geometry in the batch — fully batched:
+    one flatten, one vectorized projection (P7), one multi-feature DP
+    (simplify_many). Returns flat simplified int16 coords + per-row
+    lengths; no per-feature Python calls."""
     n = len(pdf)
     zoom = pdf["zoom"].to_numpy(dtype=np.int64)
     tile_h = pdf["tile_h"].to_numpy(dtype=np.int64)
@@ -95,68 +97,136 @@ def _project_batch(pdf: pd.DataFrame, tolerance: float):
         flat_y,
     )
     offsets = np.concatenate([[0], np.cumsum(geom_lens)])
-    sx, sy = [], []
-    slens = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        gx = px[offsets[i] : offsets[i + 1]]
-        gy = py[offsets[i] : offsets[i + 1]]
-        if len(gx) > 2:
-            gx, gy = simplify_line(gx, gy, tolerance)
-        sx.append(gx)
-        sy.append(gy)
-        slens[i] = len(gx)
-    return sx, sy, slens
+    keep = simplify_many(px, py, offsets, tolerance)
+    ck = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(keep, out=ck[1:])
+    slens = ck[offsets[1:]] - ck[offsets[:-1]]
+    return px[keep], py[keep], slens
 
 
-def _chunk_of(grp: pd.DataFrame, sx, sy, slens) -> bytes:
-    idx = grp.index.to_numpy()
-    kv: list[str] = []  # interleaved key,value per tag, feature-contiguous
-    n_tags = np.empty(len(idx), dtype=np.int64)
-    for j, tags in enumerate(grp["out_tags"]):
-        items = sorted(tags.items()) if tags else []
-        n_tags[j] = len(items)
-        for k, v in items:
-            kv.append(k)
-            kv.append(v)
-    gx = np.concatenate([sx[i] for i in idx]) if len(idx) else np.empty(0, np.int16)
-    gy = np.concatenate([sy[i] for i in idx]) if len(idx) else np.empty(0, np.int16)
-    pts = np.empty(2 * len(gx), dtype=np.int16)  # x,y interleaved
-    pts[0::2] = gx
-    pts[1::2] = gy
-    return pickle.dumps(
-        {
-            "ids": grp["feature_id"].to_numpy(dtype=np.int64),
-            "h": grp["h"].to_numpy(dtype=np.int64),
-            "n_tags": n_tags,
-            "kv": kv,
-            "geom_lens": slens[idx],
-            "pts": pts,
-        },
-        protocol=4,
-    )
+def project_geometry(df: DataFrame, tolerance: float = DEFAULT_TOLERANCE) -> DataFrame:
+    """Replace world-coord geom_x/geom_y (array<long>) with tile-local,
+    DP-simplified int16 coordinates, batched per Arrow batch.
+
+    Run this on content rows BEFORE their range-shuffle write: the zoom
+    explode otherwise ships full-resolution coordinates once per pyramid
+    level through the shuffle and the tile-assembly phase then discards
+    ~90% of the points (a 150-point way keeps ~13 after per-zoom DP).
+    Projection + DP depend only on (zoom, tile_h) and the row's own
+    coordinates — both fixed per row — so downstream chunks are
+    byte-identical to projecting inside phase 1; ``geometry_chunks``
+    consumes the result with ``projected=True``.
+    """
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField(f.name, T.ArrayType(T.ShortType()), True)
+        if f.name in ("geom_x", "geom_y")
+        else f
+        for f in df.schema.fields
+    ]
+
+    def _stream(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            spx, spy, slens = _project_batch(pdf, tolerance)
+            off = np.zeros(len(pdf) + 1, dtype=np.int64)
+            np.cumsum(slens, out=off[1:])
+            pdf["geom_x"] = [spx[off[i] : off[i + 1]] for i in range(len(pdf))]
+            pdf["geom_y"] = [spy[off[i] : off[i + 1]] for i in range(len(pdf))]
+            yield pdf
+
+    return df.mapInPandas(_stream, T.StructType(fields))
 
 
-def _phase1_stream(batches, tolerance: float):
+def _phase1_stream(batches, tolerance: float, projected: bool = False):
+    """Feature rows -> mergeable per-(tile, salt, layer) chunks.
+
+    Vectorized across the whole Arrow batch (same discipline as the
+    phase-2 _merge_tiles_batch): ONE lexsort clusters rows by group with
+    (h, feature_id) as minor keys — replacing a pandas groupby + a
+    per-group sort_values whose constant dominated at ~1 feature/group
+    (external leaf rows land each way in its own leaf tile) — then every
+    per-feature column is gathered once and each group's chunk is sliced
+    out of flat arrays. ``projected`` input carries pre-projected int16
+    tile-local coords (see project_geometry) and skips P7 + DP here.
+    """
     for pdf in batches:
         if pdf.empty:
             continue
         pdf = pdf.reset_index(drop=True)
-        sx, sy, slens = _project_batch(pdf, tolerance)
-        rows = []
-        for (zoom, tile_h, salt, layer), grp in pdf.groupby(
-            ["zoom", "tile_h", "salt", "layer"], sort=False
-        ):
-            grp = grp.sort_values(["h", "feature_id"], kind="mergesort")
-            rows.append(
-                (
-                    int(zoom),
-                    int(tile_h),
-                    int(salt),
-                    layer,
-                    len(grp),
-                    _chunk_of(grp, sx, sy, slens),
-                )
+        n = len(pdf)
+        if projected:
+            slens = np.fromiter((len(g) for g in pdf["geom_x"]), np.int64, count=n)
+            spx = (
+                np.concatenate([np.asarray(g, np.int16) for g in pdf["geom_x"]])
+                if n else np.empty(0, np.int16)
             )
+            spy = (
+                np.concatenate([np.asarray(g, np.int16) for g in pdf["geom_y"]])
+                if n else np.empty(0, np.int16)
+            )
+        else:
+            spx, spy, slens = _project_batch(pdf, tolerance)
+        zoom = pdf["zoom"].to_numpy(dtype=np.int64)
+        tile_h = pdf["tile_h"].to_numpy(dtype=np.int64)
+        salt = pdf["salt"].to_numpy(dtype=np.int64)
+        h = pdf["h"].to_numpy(dtype=np.int64)
+        fid = pdf["feature_id"].to_numpy(dtype=np.int64)
+        lcodes, luniq = pd.factorize(pdf["layer"], sort=False)
+        # per-row interleaved tag strings (kv) — the one per-row Python
+        # pass (dict iteration has no vectorized form)
+        kv_all: list[str] = []
+        n_tags = np.empty(n, dtype=np.int64)
+        kv_off = np.empty(n + 1, dtype=np.int64)
+        kv_off[0] = 0
+        for j, tags in enumerate(pdf["out_tags"]):
+            items = sorted(tags.items()) if tags else []
+            n_tags[j] = len(items)
+            for k, v in items:
+                kv_all.append(k)
+                kv_all.append(v)
+            kv_off[j + 1] = len(kv_all)
+        order = np.lexsort((fid, h, lcodes, salt, tile_h, zoom))
+        zs, ts, ss, ls = zoom[order], tile_h[order], salt[order], lcodes[order]
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (
+            (zs[1:] != zs[:-1]) | (ts[1:] != ts[:-1])
+            | (ss[1:] != ss[:-1]) | (ls[1:] != ls[:-1])
+        )
+        bounds = np.append(np.flatnonzero(new_grp), n)
+        ids_s, h_s = fid[order], h[order]
+        nt_s, slens_s = n_tags[order], slens[order]
+        # gather each row's simplified points in sorted-row order, then
+        # interleave x,y once for the whole batch
+        soff = np.concatenate([[0], np.cumsum(slens)])
+        gidx = _gather_varlen(order, slens, soff)
+        pts_all = np.empty(2 * len(gidx), dtype=np.int16)
+        pts_all[0::2] = spx[gidx]
+        pts_all[1::2] = spy[gidx]
+        pt_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(slens_s, out=pt_off[1:])
+        rows = []
+        for gi in range(len(bounds) - 1):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            kv: list[str] = []
+            for r in order[s:e]:
+                kv.extend(kv_all[kv_off[r] : kv_off[r + 1]])
+            chunk = pickle.dumps(
+                {
+                    "ids": ids_s[s:e],
+                    "h": h_s[s:e],
+                    "n_tags": nt_s[s:e],
+                    "kv": kv,
+                    "geom_lens": slens_s[s:e],
+                    "pts": pts_all[2 * pt_off[s] : 2 * pt_off[e]],
+                },
+                protocol=4,
+            )
+            rows.append((int(zs[s]), int(ts[s]), int(ss[s]), luniq[ls[s]], e - s, chunk))
         yield pd.DataFrame(
             rows, columns=["zoom", "tile_h", "salt", "layer", "n_features", "chunk"]
         )
@@ -336,6 +406,7 @@ def geometry_chunks(
     salt_threshold: int = 100_000,
     tolerance: float = DEFAULT_TOLERANCE,
     partitions: int | None = None,
+    projected: bool = False,
 ) -> DataFrame:
     """Phase 0 + 1 of the generic compose: salted, projected, simplified
     mergeable chunks (CHUNK_SCHEMA) for arbitrary line/ring geometry.
@@ -366,7 +437,9 @@ def geometry_chunks(
     part1 = salted.repartition(partitions, "zoom", "tile_h", "salt").sortWithinPartitions(
         "zoom", "tile_h", "salt", "layer", "h", "feature_id"
     )
-    return part1.mapInPandas(lambda it: _phase1_stream(it, tolerance), CHUNK_SCHEMA)
+    return part1.mapInPandas(
+        lambda it: _phase1_stream(it, tolerance, projected), CHUNK_SCHEMA
+    )
 
 
 def merge_chunks(

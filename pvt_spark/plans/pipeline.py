@@ -36,6 +36,7 @@ from ..operators.compose import (
     geometry_chunks,
     merge_chunks,
     points_chunks,
+    project_geometry,
 )
 from ..operators.content import (
     render_content,
@@ -59,7 +60,7 @@ from ..operators.rules import include_tags
 from ..operators.tree import build_tile_tree
 from ..sources.ways import synthesize_relations, synthesize_ways
 
-PIPELINE_VERSION = 2
+PIPELINE_VERSION = 3  # v3: content_mp stores projected int16 geometry
 
 
 def _parquet_file_counts(path: str) -> dict[str, int]:
@@ -382,13 +383,25 @@ def build_planet(
 
     # 3b. multi-point content: rule pyramid over way/relation features
     #     PLUS external leaf rows (U1/F5: a leaf's tile also renders the
-    #     ways/relations whose geometry enters it from elsewhere)
+    #     ways/relations whose geometry enters it from elsewhere).
+    #     Geometry is projected + per-zoom-simplified HERE, before the
+    #     range-shuffle write: the zoom explode would otherwise ship
+    #     full-resolution coordinates once per pyramid level and tile
+    #     assembly would discard ~90% of the points post-shuffle
     def _content_mp() -> DataFrame:
         feats = way_feats.select("feature_id", "h", "tags", "geom_x", "geom_y")
         if rel_feats is not None:
             feats = feats.unionByName(
                 rel_feats.select("feature_id", "h", "tags", "geom_x", "geom_y")
             )
+        # widen BEFORE the zoom explode: the explode multiplies each
+        # feature ~13x and the projection UDF runs map-side on the
+        # exploded rows, so parallelism must exist upstream — and the
+        # full-resolution shuffle this costs is one row per FEATURE,
+        # not per (feature, zoom) row
+        feats = feats.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
         c = render_content(
             feats, config.manifest, compiled,
             carry_cols=["tags", "geom_x", "geom_y"],
@@ -402,7 +415,7 @@ def build_planet(
             .join(ext_pairs, "feature_id")
             .withColumnRenamed("leaf_h", "tile_h")
         )
-        return c.unionByName(leaf_rows.select(*c.columns))
+        return project_geometry(c.unionByName(leaf_rows.select(*c.columns)))
 
     # tree / content / content_mp are INDEPENDENT given their inputs —
     # run them as concurrent Spark jobs (separate driver threads): the
@@ -445,6 +458,7 @@ def build_planet(
         gchunks = geometry_chunks(
             _mp_rf(spark, content_mp, compiled, config),
             salt_threshold=config.salt_threshold,
+            projected=True,  # content_mp stores tile-local simplified coords
         )
         # the point finals fast path stays available for every tile with
         # NO multi-point features: demote only the mp tile set to chunks
