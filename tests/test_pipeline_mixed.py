@@ -41,9 +41,15 @@ def test_mixed_build_end_to_end(spark):
         ext = out["external"]
         assert ext.count() > 0
 
+        # content_mp stores tile-local DP-simplified int16 geometry
+        # (projected BEFORE the range shuffle — pipeline v3)
+        cmp_ = out["content_mp"]
+        dt = dict(cmp_.dtypes)
+        assert dt["geom_x"] == "array<smallint>"
+        assert dt["geom_y"] == "array<smallint>"
+
         # content_mp contains external leaf rows: same feature at leaf
         # zoom under MORE tiles than its home tile alone
-        cmp_ = out["content_mp"]
         multi = (
             cmp_.where(F.col("zoom") == cfg.leaf_zoom)
             .groupBy("feature_id")
