@@ -435,9 +435,14 @@ def build_planet(
         f_content = pool.submit(
             stage("content").run, spark, _content, write_content, ["points_sorted"]
         )
+        # content_mp skips the range-clustered write content gets: serving
+        # never reads it and its one consumer (geometry_chunks) reshuffles
+        # by (zoom, tile_h, salt) anyway — a plain write saves the persist
+        # + boundary-sampling pass + a full sorted shuffle of mp content
         f_mp = (
             pool.submit(
-                stage("content_mp").run, spark, _content_mp, write_content,
+                stage("content_mp").run, spark, _content_mp,
+                lambda df, p: df.write.mode("overwrite").parquet(p),
                 ["way_features", "external_members"],
             )
             if has_mp
