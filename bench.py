@@ -65,6 +65,76 @@ def _build_once(master: str, n_pages: int, tmp_root: str) -> dict:
     }
 
 
+def _box_calibration() -> dict[str, float]:
+    """Fixed, engine-independent microbenchmarks that fingerprint the
+    box this run measured on. Round-over-round BENCH comparisons are
+    only meaningful modulo these: the same engine commit has measured
+    2-3x apart across rounds on identical inputs purely from host/VM
+    drift (hypervisor neighbors, scheduler wakeup latency). ~5s total.
+
+    - calib_hilbert_sec: single-core order-32 Hilbert encode of 4M
+      points (the engine's hottest numpy kernel) — host CPU speed.
+    - calib_pingpong_us: pipe round-trip between two processes —
+      scheduler wakeup latency (Spark<->Python worker traffic analog).
+    - calib_par16_sec: 16 concurrent processes each encoding 1M points
+      — parallel CPU availability under the VM's real scheduling.
+    """
+    import multiprocessing as mp
+
+    import numpy as np
+
+    from pvt_spark import hilbert as hb
+
+    x = (np.arange(4_000_000, dtype=np.uint64) * np.uint64(2654435761)) & np.uint64(
+        0xFFFFFFFF
+    )
+    y = (np.arange(4_000_000, dtype=np.uint64) * np.uint64(2246822519)) & np.uint64(
+        0xFFFFFFFF
+    )
+    t0 = time.time()
+    hb.xy2h(x, y, 32)
+    calib_hilbert = time.time() - t0
+
+    r1, w1 = os.pipe()
+    r2, w2 = os.pipe()
+    pid = os.fork()
+    n_iter = 5000
+    if pid == 0:
+        for _ in range(n_iter):
+            os.read(r1, 1)
+            os.write(w2, b"x")
+        os._exit(0)
+    t0 = time.time()
+    for _ in range(n_iter):
+        os.write(w1, b"x")
+        os.read(r2, 1)
+    pingpong_us = (time.time() - t0) / n_iter * 1e6
+    os.waitpid(pid, 0)
+    for fd in (r1, w1, r2, w2):
+        os.close(fd)
+
+    t0 = time.time()
+    with mp.Pool(16) as pool:
+        pool.map(_calib_par_task, range(16))
+    calib_par = time.time() - t0
+    return {
+        "calib_hilbert_sec": round(calib_hilbert, 3),
+        "calib_pingpong_us": round(pingpong_us, 1),
+        "calib_par16_sec": round(calib_par, 3),
+    }
+
+
+def _calib_par_task(_: int) -> None:
+    import numpy as np
+
+    from pvt_spark import hilbert as hb
+
+    x = (np.arange(1_000_000, dtype=np.uint64) * np.uint64(2654435761)) & np.uint64(
+        0xFFFFFFFF
+    )
+    hb.xy2h(x, x[::-1].copy(), 32)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -72,6 +142,7 @@ def main() -> None:
     n_pages = int(os.environ.get("PVT_BENCH_PAGES", str(int(sf * 10_000_000))))
     tmp_root = tempfile.mkdtemp(prefix="pvt_bench_")
     timings: dict[str, float] = {}
+    timings.update(_box_calibration())
 
     try:
         # headline: end-to-end tile build. Executor sizing: every task in
