@@ -22,7 +22,27 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scaling_bench import run_pinned  # noqa: E402
+
+
+def _calib_hilbert() -> float:
+    """Single-core 4M-point Hilbert encode (bench.py's host fingerprint):
+    sampled immediately before each measured run so every repeat carries
+    the box's state-of-the-moment next to its wall time."""
+    import numpy as np
+
+    from pvt_spark import hilbert as hb
+
+    x = (np.arange(4_000_000, dtype=np.uint64) * np.uint64(2654435761)) & np.uint64(
+        0xFFFFFFFF
+    )
+    y = (np.arange(4_000_000, dtype=np.uint64) * np.uint64(2246822519)) & np.uint64(
+        0xFFFFFFFF
+    )
+    t0 = time.time()
+    hb.xy2h(x, y, 32)
+    return round(time.time() - t0, 2)
 
 
 def main() -> None:
@@ -39,13 +59,18 @@ def main() -> None:
     results = []
     for rep in range(args.repeats):
         rec = {"rep": rep, "pages": args.pages, "low": args.low, "high": args.high}
-        for cores in (args.high, args.low):
+        # alternate level order per repeat: slow host drift (minutes
+        # timescale) then biases the ratio both ways instead of one
+        order = (args.high, args.low) if rep % 2 == 0 else (args.low, args.high)
+        for cores in order:
             run_pinned(cores, 20_000, args.root)  # warmup (JVM/codegen init)
+            rec[f"calib{cores}"] = _calib_hilbert()
             t0 = time.time()
             r = run_pinned(cores, args.pages, args.root)
             rec[f"t{cores}"] = round(r["wall_sec"], 2)
             rec[f"pps{cores}"] = round(r["pages_per_sec"], 1)
             print(f"rep {rep} cores {cores}: {r['wall_sec']:.1f}s "
+                  f"calib {rec[f'calib{cores}']}s "
                   f"(incl. warmup {time.time() - t0 - r['wall_sec']:.0f}s overhead)",
                   flush=True)
         rec["efficiency"] = round(
