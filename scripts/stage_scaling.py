@@ -20,9 +20,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNNER = """
 import sys, json, os, time, shutil
 sys.path.insert(0, {repo!r})
+import numpy as np
+from pvt_spark import hilbert as hb
 from pvt_spark.plans.pipeline import BuildConfig, build_planet
 from pvt_spark.session import get_spark
 from pvt_spark.sources.pages import synthesize_pages
+
+# host fingerprint right before the measured build (campaign discipline)
+_cx = (np.arange(4_000_000, dtype=np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+_cy = (np.arange(4_000_000, dtype=np.uint64) * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+_t0 = time.time(); hb.xy2h(_cx, _cy, 32); _calib = round(time.time() - _t0, 2)
 
 spark = get_spark(master={master!r}, app_name="stage-scaling")
 spark.sparkContext.setLogLevel("ERROR")
@@ -42,7 +49,7 @@ for name in os.listdir(planet):
         with open(lp) as f:
             stages[name] = json.load(f)["wall_sec"]
 spark.stop()
-print("RESULT", json.dumps({{"wall": wall, "stages": stages}}))
+print("RESULT", json.dumps({{"wall": wall, "stages": stages, "calib": _calib}}))
 """
 
 
@@ -109,6 +116,7 @@ def main() -> None:
     print(json.dumps({
         "mode": args.mode, "pages": args.pages,
         "t_low": round(lo["wall"], 2), "t_high": round(hi["wall"], 2),
+        "calib_low": lo.get("calib"), "calib_high": hi.get("calib"),
         "efficiency": round(eff, 3),
         "stages": [{"stage": n, "t_low": a, "t_high": b, "eff": e} for n, a, b, e in rows],
     }, indent=1))
