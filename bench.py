@@ -168,22 +168,31 @@ def main() -> None:
         # worker, so task slots = cores/2 (the cluster analog of
         # spark.executor.cores budgeting for pandas-UDF pipelines);
         # local[cpus] oversubscribes 2x and measures ~20% slower.
-        # Best of two runs, both reported with the host fingerprint
-        # sampled right before each: this VM's speed swings 2-3x
-        # minute-to-minute (BENCH/BASELINE.md), so a single sample is a
-        # lottery; the second run also reuses the already-written pages
-        # table, so it costs only the build itself.
+        # Two runs, both reported with the host fingerprint sampled right
+        # before each (this VM's speed swings 2-3x minute-to-minute,
+        # BENCH/BASELINE.md). The HEADLINE is the FIRST (cold) run —
+        # same convention as rounds 1-2, so cross-round deltas compare
+        # like to like; the second run (warm JVM gateway + page cache)
+        # is reported separately as tile_build_best2, never as the
+        # headline (ADVICE r3: min-of-N biases the headline low).
         runs = []
         for _ in range(2):
             calib_before = _calib_hilbert_once()
             b = _build_once(f"local[{max(1, cpus // 2)}]", n_pages, tmp_root)
             runs.append((b, calib_before))
-        build = min((r[0] for r in runs), key=lambda r: r["wall_sec"])
+        build = runs[0][0]
         timings["tile_build"] = round(build["wall_sec"], 3)
         timings["pages_per_sec"] = round(build["pages_per_sec"], 1)
         timings["tiles_per_sec"] = round(build["tiles_per_sec"], 1)
+        timings["tile_build_best2"] = round(
+            min(r[0]["wall_sec"] for r in runs), 3
+        )
         timings["tile_build_runs"] = [round(r[0]["wall_sec"], 3) for r in runs]
         timings["tile_build_calibs"] = [r[1] for r in runs]
+        # calib-normalized headline: wall divided by the single-core
+        # Hilbert fingerprint sampled immediately before that run —
+        # round-over-round deltas in this ratio factor out host lottery
+        timings["tile_build_norm"] = round(build["wall_sec"] / runs[0][1], 2)
 
         # representative oracle queries at sf_dir
         from pvt_spark.queries import REGISTRY
@@ -191,6 +200,7 @@ def main() -> None:
 
         spark = get_spark(master=f"local[{cpus}]", app_name="pvt-bench-queries")
         spark.sparkContext.setLogLevel("ERROR")
+        timings["calib_queries"] = _calib_hilbert_once()
         bench_queries = [
             "q01_pricing_summary",
             "q02_top_revenue_orders",
@@ -209,6 +219,9 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            timings[f"{name}_norm"] = round(
+                timings[name] / timings["calib_queries"], 2
+            )
 
         # PIP vs a 20k-vertex jagged polygon (coastline-country analog):
         # exercises the edge-chunked ray-cast + scanline cover at the
@@ -265,6 +278,7 @@ def main() -> None:
         # predicate, not limit(): limit collapses downstream parallelism
         pages = spark.read.parquet(pages_path).where(f"page_id < {mixed_pages}")
         planet = os.path.join(tmp_root, "planet_mixed")
+        calib_mixed = _calib_hilbert_once()
         t0 = time.time()
         _bp(
             spark, pages, planet,
@@ -272,6 +286,10 @@ def main() -> None:
                 synth_relations=mixed_pages // 1000),
         )
         timings["tile_build_mixed"] = round(time.time() - t0, 3)
+        timings["tile_build_mixed_calib"] = calib_mixed
+        timings["tile_build_mixed_norm"] = round(
+            timings["tile_build_mixed"] / calib_mixed, 2
+        )
         timings["mixed_pages"] = mixed_pages
         spark.stop()
 

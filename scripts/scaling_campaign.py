@@ -56,8 +56,15 @@ def main() -> None:
     args = ap.parse_args()
     os.makedirs(args.root, exist_ok=True)
 
+    # repeat ids continue from any existing --out lines so a combined
+    # JSONL never carries duplicate rep keys across invocations
+    rep0 = 0
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            rep0 = sum(1 for line in f if line.strip())
+
     results = []
-    for rep in range(args.repeats):
+    for rep in range(rep0, rep0 + args.repeats):
         rec = {"rep": rep, "pages": args.pages, "low": args.low, "high": args.high}
         # alternate level order per repeat: slow host drift (minutes
         # timescale) then biases the ratio both ways instead of one

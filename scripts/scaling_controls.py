@@ -62,11 +62,15 @@ def arrow_job(n):
         .write.format("noop").mode("overwrite").save())
 
 shuffle_job(2_000_000); arrow_job(2_000_000)  # warmup
-c = calib()
+# one calib IMMEDIATELY before each measured job (the jobs are minutes
+# apart on a box that swings 2-3x minute-to-minute) — ADVICE r3
+c_shuffle = calib()
 t0 = time.time(); shuffle_job({n_shuffle}); t_shuffle = time.time() - t0
+c_arrow = calib()
 t0 = time.time(); arrow_job({n_arrow}); t_arrow = time.time() - t0
 spark.stop()
-print("RESULT", json.dumps({{"calib": c, "shuffle": round(t_shuffle, 2),
+print("RESULT", json.dumps({{"calib_shuffle": c_shuffle, "calib_arrow": c_arrow,
+                             "shuffle": round(t_shuffle, 2),
                              "arrow": round(t_arrow, 2)}}))
 """
 
@@ -103,7 +107,8 @@ def main() -> None:
         "low": args.low, "high": args.high,
         "eff_shuffle": round(lo["shuffle"] * args.low / (hi["shuffle"] * args.high), 3),
         "eff_arrow": round(lo["arrow"] * args.low / (hi["arrow"] * args.high), 3),
-        "calib_low": lo["calib"], "calib_high": hi["calib"],
+        "calib_shuffle_low": lo["calib_shuffle"], "calib_shuffle_high": hi["calib_shuffle"],
+        "calib_arrow_low": lo["calib_arrow"], "calib_arrow_high": hi["calib_arrow"],
     }))
 
 
