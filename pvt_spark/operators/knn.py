@@ -11,9 +11,11 @@ its k-th candidate distance is <= ring * tile_size — every point that
 close is inside the probed region (the region boundary is at least
 ring tiles from the query's own tile). Queries failing the guarantee
 (sparse regions) escalate: ring -> 4*ring -> brute force; each later
-pass is only SCHEDULED if a driver-side count of the (tiny) deficit
-aggregate says it is non-empty, so at planet densities the build runs
-exactly one candidate join.
+pass is only SCHEDULED if a driver-side count of the satisfied set
+falls short of the query total (one gate job per pass), so at planet
+densities the build runs exactly one candidate join. Intermediates
+are unpersisted before returning; the eagerly-checkpointed result is
+the only storage the call leaves behind.
 
 Distance is squared planar distance in the u32 web-mercator grid —
 consistent with the reference's location space (src/location.rs:48).
@@ -148,38 +150,58 @@ def knn_per_tile(
             .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "d2")
         )
 
-    def split_complete(result: DataFrame, ring_: int):
-        """(complete results, deficit query ids) under the exactness
-        guarantee: k found AND k-th distance inside the probed radius."""
+    def split_ok(result: DataFrame, ring_: int) -> DataFrame:
+        """Query ids whose pass result satisfies the exactness guarantee:
+        k found AND k-th distance inside the probed radius."""
         guarantee = (ring_ * tile_size) ** 2
-        status = result.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("found"), F.max("d2").alias("d2_max")
+        return (
+            result.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("found"), F.max("d2").alias("d2_max"))
+            .where((F.col("found") == k) & (F.col("d2_max") <= F.lit(guarantee)))
+            .select("query_id")
         )
-        ok = status.where(
-            (F.col("found") == k) & (F.col("d2_max") <= F.lit(guarantee))
-        ).select("query_id")
-        return result.join(F.broadcast(ok), "query_id"), ok
 
-    # Escalation passes are SHORT-CIRCUITED driver-side: after each pass,
-    # one count job on the (tiny) deficit set decides whether the next
-    # pass is scheduled at all. At planet densities ring 1 satisfies every
-    # query, so the common case runs exactly one candidate join — the
-    # always-scheduled pass-2/3 stages (incl. an empty-side crossJoin and
-    # two extra per-query window shuffles) previously tripled the cost.
+    # Escalation passes are SHORT-CIRCUITED driver-side with ONE job per
+    # pass: count the satisfied set (which materializes the pass result
+    # into its persist) and compare against the total query count — no
+    # separate deficit isEmpty job. At planet densities ring 1 satisfies
+    # every query, so the common case runs exactly one candidate join.
+    # All intermediates are unpersisted before returning; the result is
+    # eagerly localCheckpoint'ed (lineage truncated), so its blocks are
+    # the ONLY storage left after the call, owned by the returned
+    # DataFrame and released by the ContextCleaner when the caller drops
+    # it — nothing leaks across a long-lived build session.
+    to_unpersist: list[DataFrame] = []
+
+    def finish(result: DataFrame) -> DataFrame:
+        out = result.localCheckpoint(eager=True)
+        for df in to_unpersist:
+            df.unpersist()
+        return out
+
+    n_q = queries.count()
     r1 = run_pass(queries, ring).persist()
-    done1, ok1 = split_complete(r1, ring)
-    q2 = queries.join(F.broadcast(ok1), "query_id", "left_anti").persist()
-    if q2.isEmpty():
-        return done1
+    ok1 = split_ok(r1, ring).persist()
+    to_unpersist += [r1, ok1]
+    n_ok1 = ok1.count()
+    done1 = r1.join(F.broadcast(ok1), "query_id")
+    if n_ok1 == n_q:
+        return finish(done1)
 
+    # deficit queries: broadcast anti-join over the (tiny) queries table —
+    # cheap to recompute, so never persisted
     ring2 = min(ring * 4, max_ring)
+    q2 = queries.join(F.broadcast(ok1), "query_id", "left_anti")
     r2 = run_pass(q2, ring2).persist()
-    done2, ok2 = split_complete(r2, ring2)
-    q3 = q2.join(F.broadcast(ok2), "query_id", "left_anti").persist()
-    if q3.isEmpty():
-        return done1.unionByName(done2)
+    ok2 = split_ok(r2, ring2).persist()
+    to_unpersist += [r2, ok2]
+    n_ok2 = ok2.count()
+    done2 = r2.join(F.broadcast(ok2), "query_id")
+    if n_ok1 + n_ok2 == n_q:
+        return finish(done1.unionByName(done2))
 
     # final pass: exact brute force for the (rare) still-deficient set
+    q3 = q2.join(F.broadcast(ok2), "query_id", "left_anti")
     d2b = ((F.col("px") - F.col("qx")) ** 2 + (F.col("py") - F.col("qy")) ** 2).cast(
         "double"
     )
@@ -191,4 +213,4 @@ def knn_per_tile(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "d2")
     )
-    return done1.unionByName(done2).unionByName(brute)
+    return finish(done1.unionByName(done2).unionByName(brute))

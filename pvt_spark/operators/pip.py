@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, StructType
 
 from .. import hilbert as hb
 from ..functions.geo import zoom_h
@@ -39,6 +39,13 @@ def polygon_cover_tiles(rings: list, cover_zoom: int) -> list[int]:
     outer = rings[0]
     lons = np.array([p[0] for p in outer], dtype=np.int64)
     lats = np.array([p[1] for p in outer], dtype=np.int64)
+    return _cover_tiles_lonlat(lons, lats, cover_zoom)
+
+
+def _cover_tiles_lonlat(
+    lons: np.ndarray, lats: np.ndarray, cover_zoom: int
+) -> list[int]:
+    """Scanline cover core over the outer ring's dm7 coordinate arrays."""
     x, y = hb.lonlat_to_xy(lons, lats)
     xf = x.astype(np.float64)
     yf = y.astype(np.float64)
@@ -118,14 +125,24 @@ def point_in_polygon_join(
     polygons: DataFrame,
     cover_zoom: int = 8,
     how: str = "inner",
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """points(..., lon_dm7, lat_dm7, h) x polygons(admin_id, ..., rings) ->
     matched pairs with exact containment.
 
-    polygons must be broadcast-sized (admin boundaries are); rings is
+    ``strategy="broadcast"`` (default): polygons must be broadcast-sized
+    (admin boundaries usually are); rings is
     array<array<struct<lon_dm7,lat_dm7>>> with outer ring first, holes
     after (even-odd rule handles holes for free).
+    ``strategy="partitioned"``: no size ceiling — polygons stay a
+    DataFrame end-to-end (see point_in_polygon_join_partitioned).
     """
+    if strategy == "partitioned":
+        return point_in_polygon_join_partitioned(
+            points, polygons, cover_zoom=cover_zoom, how=how
+        )
+    if strategy != "broadcast":
+        raise ValueError(f"unsupported strategy={strategy}")
     spark = points.sparkSession
     polys = polygons.collect()
     cover_rows = []
@@ -172,4 +189,99 @@ def point_in_polygon_join(
         return out.join(
             F.broadcast(polygons.drop("rings")), "admin_id"
         )
+    raise ValueError(f"unsupported how={how}")
+
+
+def point_in_polygon_join_partitioned(
+    points: DataFrame,
+    polygons: DataFrame,
+    cover_zoom: int = 8,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """PIP with NO broadcast ceiling: polygons stay a DataFrame end to
+    end — no ``collect()``, no driver loop — so the polygon side scales
+    past executor memory (full OSM admin relations at full ring
+    resolution). Same results as the broadcast path.
+
+    Plan (the reference's tile-membership join shape,
+    src/hilbert/leaf.rs:214-290, at polygon-relation scale):
+
+    1. distributed scanline cover: ``mapInPandas`` over the polygons
+       table emits (admin_id, cover_tile) pairs — each task covers its
+       own polygons, O(perimeter) tiles per polygon;
+    2. points tag their cover-zoom tile (native SQL) and equi-join the
+       cover pairs — a plain shuffle hash join, so AQE's skew-join
+       splits hot tiles (dense cities) automatically;
+    3. exact ray-cast via ``cogroup``: candidates and rings shuffle on
+       (admin_id, salt) — ring geometry travels ONCE per salt bucket
+       (n_salt copies per polygon, bounded), never once per candidate
+       row, and a hot polygon's candidates split across n_salt groups
+       instead of landing on one task.
+    """
+    ring_cols = polygons.select(
+        "admin_id",
+        F.expr("transform(rings, r -> transform(r, p -> cast(p.lon_dm7 as long)))").alias("rings_x"),
+        F.expr("transform(rings, r -> transform(r, p -> cast(p.lat_dm7 as long)))").alias("rings_y"),
+    )
+
+    def cover_rows(batches):
+        for pdf in batches:
+            out_a: list[int] = []
+            out_t: list[int] = []
+            for aid, rx, ry in zip(pdf["admin_id"], pdf["rings_x"], pdf["rings_y"]):
+                lons = np.asarray(rx[0], dtype=np.int64)
+                lats = np.asarray(ry[0], dtype=np.int64)
+                for t in _cover_tiles_lonlat(lons, lats, cover_zoom):
+                    out_a.append(aid)
+                    out_t.append(t)
+            yield pd.DataFrame(
+                {
+                    "admin_id": pd.array(out_a, dtype="int64"),
+                    "cover_tile": pd.array(out_t, dtype="int64"),
+                }
+            )
+
+    cover = ring_cols.mapInPandas(cover_rows, "admin_id long, cover_tile long")
+
+    pts = points.withColumn("cover_tile", zoom_h(F.col("h"), cover_zoom))
+    cand = pts.join(cover, "cover_tile").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("lon_dm7"), F.col("lat_dm7")), F.lit(n_salt)).cast(
+            "int"
+        ),
+    )
+    rings_salted = ring_cols.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+
+    out_fields = [
+        f for f in cand.schema.fields if f.name not in ("_salt", "cover_tile")
+    ]
+    out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def raycast_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return left.iloc[0:0][out_cols]
+        px = left["lon_dm7"].to_numpy(np.float64)
+        py = left["lat_dm7"].to_numpy(np.float64)
+        acc = np.zeros(len(px), dtype=bool)
+        row = right.iloc[0]
+        for rx, ry in zip(row["rings_x"], row["rings_y"]):
+            ring = np.column_stack(
+                [np.asarray(rx, np.float64), np.asarray(ry, np.float64)]
+            )
+            acc ^= _ray_cast(px, py, ring)
+        return left.loc[acc, out_cols]
+
+    matched = (
+        cand.groupby("admin_id", "_salt")
+        .cogroup(rings_salted.groupby("admin_id", "_salt"))
+        .applyInPandas(raycast_group, out_schema)
+    )
+    if how == "inner":
+        # attribute join stays a plain equi-join: AQE broadcasts it when
+        # the polygon table is small, shuffles it when it is not
+        return matched.join(polygons.drop("rings"), "admin_id")
     raise ValueError(f"unsupported how={how}")

@@ -400,14 +400,10 @@ ORDER BY query_id, rank
 """
 
 
-def q13_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW-J9 via the PRODUCTION operator: point_in_polygon_join
-    (scanline cover-tile prune + vectorized even-odd ray-cast) against
-    admin rectangles derived from nation keys. On axis-aligned rings the
-    even-odd rule yields exactly the half-open [west,east) x
-    [south,north) containment the integer SQL oracle computes."""
+def _q13_inputs(spark: SparkSession, sf_dir: str):
+    """(points, polygons) shared by q13 (broadcast) and q34 (partitioned):
+    synthetic customer points x admin rectangles derived from nation keys."""
     from .functions.geo import hilbert_h
-    from .operators.pip import point_in_polygon_join
 
     pts = _synth_points(spark, sf_dir).withColumn(
         "h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7"))
@@ -435,13 +431,41 @@ def q13_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("west").cast("int").alias("lon_dm7"), F.col("south").cast("int").alias("lat_dm7")),
     )
     polys = rects.select("admin_id", "n_name", F.array(ring).alias("rings"))
-    matched = point_in_polygon_join(pts, polys, cover_zoom=6)
+    return pts, polys
+
+
+def _q13_aggregate(matched: DataFrame) -> DataFrame:
     return (
-        matched.groupBy(
-            F.col("admin_id").alias("n_nationkey"), "n_name"
-        )
+        matched.groupBy(F.col("admin_id").alias("n_nationkey"), "n_name")
         .agg(F.count(F.lit(1)).alias("point_count"))
         .orderBy("n_nationkey")
+    )
+
+
+def q13_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW-J9 via the PRODUCTION operator: point_in_polygon_join
+    (scanline cover-tile prune + vectorized even-odd ray-cast) against
+    admin rectangles derived from nation keys. On axis-aligned rings the
+    even-odd rule yields exactly the half-open [west,east) x
+    [south,north) containment the integer SQL oracle computes."""
+    from .operators.pip import point_in_polygon_join
+
+    pts, polys = _q13_inputs(spark, sf_dir)
+    return _q13_aggregate(point_in_polygon_join(pts, polys, cover_zoom=6))
+
+
+def q34_pip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW-J9 beyond the broadcast contract: the SAME containment as q13
+    through point_in_polygon_join_partitioned — polygons stay a
+    DataFrame (distributed scanline cover, shuffle equi-join on cover
+    tile, salted-cogroup ray-cast; no collect(), no driver loop), so
+    the polygon side has no broadcast ceiling. Oracle: identical SQL
+    to q13 — both paths must produce the same pairs."""
+    from .operators.pip import point_in_polygon_join_partitioned
+
+    pts, polys = _q13_inputs(spark, sf_dir)
+    return _q13_aggregate(
+        point_in_polygon_join_partitioned(pts, polys, cover_zoom=6, n_salt=4)
     )
 
 
@@ -1627,6 +1651,9 @@ REGISTRY: dict[str, tuple] = {
     "q31_ivf_search": (q31_ivf_search, Q31_SQL),
     "q32_bpe_tokens": (q32_bpe_tokens, Q32_SQL),
     "q33_raster_check": (q33_raster_check, Q33_SQL),
+    # q34 shares q13's oracle by construction: the partitioned PIP path
+    # must reproduce the broadcast path's containment exactly
+    "q34_pip_partitioned": (q34_pip_partitioned, Q13_SQL),
 }
 
 

@@ -61,6 +61,50 @@ def test_pip_polygon_with_hole(spark):
     assert got == {0}
 
 
+def test_pip_partitioned_matches_broadcast(spark):
+    """The no-ceiling path (polygons stay a DataFrame; cover via
+    mapInPandas; ray-cast via salted cogroup) returns exactly the
+    broadcast path's pairs — donut hole, disjoint rect, jagged star,
+    3k random points."""
+    from pvt_spark.operators.pip import point_in_polygon_join_partitioned
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        ring_o = [(0, 0), (10000000, 0), (10000000, 10000000), (0, 10000000), (0, 0)]
+        ring_h = [(4000000, 4000000), (6000000, 4000000), (6000000, 6000000),
+                  (4000000, 6000000), (4000000, 4000000)]
+        nv = 101
+        ang = np.linspace(0, 2 * np.pi, nv - 1, endpoint=False)
+        rad = np.where(np.arange(nv - 1) % 2 == 0, 9e6, 5e6)
+        star = [(int(20000000 + r * np.cos(a)), int(5000000 + 0.5 * r * np.sin(a)))
+                for r, a in zip(rad, ang)]
+        star.append(star[0])
+        polys = spark.createDataFrame(
+            [(1, "donut", [ring_o, ring_h]), (2, "star", [star])],
+            "admin_id long, name string, "
+            "rings array<array<struct<lon_dm7:int, lat_dm7:int>>>",
+        )
+        rng = np.random.RandomState(11)
+        lon = rng.randint(-2000000, 32000000, 3000).astype(np.int64)
+        lat = rng.randint(-2000000, 12000000, 3000).astype(np.int64)
+        pts = _points(spark, list(zip(lon.tolist(), lat.tolist())))
+        a = point_in_polygon_join(pts, polys, cover_zoom=6)
+        b = point_in_polygon_join_partitioned(pts, polys, cover_zoom=6, n_salt=4)
+        ra = sorted((r.feature_id, r.admin_id) for r in a.collect())
+        rb = sorted((r.feature_id, r.admin_id) for r in b.collect())
+        assert ra == rb and len(ra) > 100
+        # dispatch through the unified entry
+        c = point_in_polygon_join(pts, polys, cover_zoom=6, strategy="partitioned")
+        assert sorted((r.feature_id, r.admin_id) for r in c.collect()) == ra
+        # the partitioned plan must contain no broadcast of the polygon
+        # candidates and no nested-loop join; ray-cast rides a cogroup
+        plan = b._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapCoGroupsInPandas" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
 def test_knn_exact(spark):
     base = [(-1220280000 + i * 10000, 370490000) for i in range(10)]
     pts = _points(spark, base)
@@ -174,6 +218,35 @@ def test_knn_ring_expansion_sparse_region(spark):
     near_ids = {0, 1, 2}
     got_near = {r.neighbor_id for r in rows if r.rank <= 3}
     assert got_near == near_ids
+
+
+def test_knn_leaves_no_persisted_intermediates(spark):
+    """After knn_per_tile returns, the only storage left is the returned
+    result's own localCheckpoint blocks — every pass intermediate
+    (candidate results, satisfied-set aggregates) is unpersisted, so a
+    long-lived build session accumulates nothing (VERDICT r3 item 6)."""
+    def persisted_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    before = persisted_ids()
+    a = [(-1220280000 + i * 5000, 370490000) for i in range(3)]
+    b = [(-1100000000 + i * 5000, 300000000) for i in range(10)]
+    pts = _points(spark, a + b)
+    queries = _points(spark, [(-1220280000, 370490000)]).select(
+        F.col("feature_id").alias("query_id"), "lon_dm7", "lat_dm7", "h"
+    )
+    # escalation path (exercises pass 1 + pass 2 + brute persists)
+    out = knn_per_tile(pts, queries, k=5, zoom=12, ring=1, max_ring=2)
+    assert len(out.collect()) == 5
+    after = persisted_ids()
+    assert len(after - before) == 1  # exactly the returned checkpoint
+
+    # single-pass common case (cluster A satisfies k=2 at ring 1): same
+    # invariant
+    out2 = knn_per_tile(pts, queries, k=2, zoom=12, ring=1, max_ring=8)
+    assert len(out2.collect()) == 2
+    assert len(persisted_ids() - after) == 1
 
 
 def test_knn_bulk_distributed(spark):
