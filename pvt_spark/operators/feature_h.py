@@ -313,14 +313,34 @@ def _orient_rings(rings):
 
 
 def _rel_rings_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    rows = []
-    for fid, grp in pdf.groupby("feature_id", sort=False):
-        rings, lines = _assemble_rings(list(zip(grp["geom_x"], grp["geom_y"])))
+    """One pass over a batch of COMPLETE relations (rows sorted by
+    (feature_id, pos), each relation contiguous): offset-run slicing
+    over plain numpy/object arrays — the `_ways_h_batch` pattern — so
+    the batch cost is the ring stitching itself, not pandas groupby
+    machinery (one Index + BlockManager build per relation)."""
+    fid = pdf["feature_id"].to_numpy(dtype=np.int64)
+    gx = pdf["geom_x"].to_numpy(dtype=object)
+    gy = pdf["geom_y"].to_numpy(dtype=object)
+    n = len(fid)
+    if n == 0:
+        return pd.DataFrame({"feature_id": [], "geom_x": [], "geom_y": []})
+    offs = np.concatenate([[0], 1 + np.flatnonzero(fid[1:] != fid[:-1]), [n]])
+    out_fid: list[int] = []
+    out_x: list[list] = []
+    out_y: list[list] = []
+    for k in range(len(offs) - 1):
+        s, e = offs[k], offs[k + 1]
+        rings, lines = _assemble_rings(list(zip(gx[s:e], gy[s:e])))
+        f = fid[s]
         for xs, ys in _orient_rings(rings):
-            rows.append((fid, xs.tolist(), ys.tolist()))
+            out_fid.append(f)
+            out_x.append(xs.tolist())
+            out_y.append(ys.tolist())
         for xs, ys in lines:
-            rows.append((fid, xs.tolist(), ys.tolist()))
-    return pd.DataFrame(rows, columns=["feature_id", "geom_x", "geom_y"])
+            out_fid.append(f)
+            out_x.append(xs.tolist())
+            out_y.append(ys.tolist())
+    return pd.DataFrame({"feature_id": out_fid, "geom_x": out_x, "geom_y": out_y})
 
 
 def _rel_geom_stream(batches):

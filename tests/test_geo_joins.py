@@ -185,6 +185,61 @@ def test_relation_h_mean_and_nesting(spark):
     assert out[201] == expect_201
 
 
+def test_rel_rings_batch_vectorized_identity():
+    """Offset-run `_rel_rings_batch` (the `_ways_h_batch` slicing
+    pattern) is value-identical to the per-group pandas reference on a
+    10k-relation synthetic — closed ring + two-chain stitch + dangling
+    line per relation (VERDICT r3 item 3)."""
+    import time
+
+    import pandas as pd
+
+    from pvt_spark.operators.feature_h import (
+        _assemble_rings,
+        _orient_rings,
+        _rel_rings_batch,
+    )
+
+    fids, xs_col, ys_col = [], [], []
+    for i in range(10_000):
+        b = i * 1000
+        members = [
+            ([b, b + 10, b + 10, b, b], [b, b, b + 10, b + 10, b]),  # closed
+            ([b + 20, b + 30, b + 30], [b, b, b + 10]),  # chain A
+            ([b + 30, b + 20, b + 20], [b + 10, b + 10, b]),  # chain B
+            ([b + 50, b + 60], [b, b]),  # dangling line
+        ]
+        for mx, my in members:
+            fids.append(i)
+            xs_col.append(np.array(mx, dtype=np.int64))
+            ys_col.append(np.array(my, dtype=np.int64))
+    pdf = pd.DataFrame({"feature_id": fids, "geom_x": xs_col, "geom_y": ys_col})
+
+    t0 = time.time()
+    got = _rel_rings_batch(pdf)
+    wall = time.time() - t0
+
+    def reference(p):
+        rows = []
+        for fid, grp in p.groupby("feature_id", sort=False):
+            rings, lines = _assemble_rings(list(zip(grp["geom_x"], grp["geom_y"])))
+            for rx, ry in _orient_rings(rings):
+                rows.append((fid, rx.tolist(), ry.tolist()))
+            for rx, ry in lines:
+                rows.append((fid, rx.tolist(), ry.tolist()))
+        return pd.DataFrame(rows, columns=["feature_id", "geom_x", "geom_y"])
+
+    want = reference(pdf)
+    assert len(got) == len(want) == 30_000  # 2 rings + 1 line per relation
+    assert got["feature_id"].tolist() == want["feature_id"].tolist()
+    assert got["geom_x"].tolist() == want["geom_x"].tolist()
+    assert got["geom_y"].tolist() == want["geom_y"].tolist()
+    print(f"10k-relation batch: {wall:.2f}s vectorized")
+
+    # empty batch guard
+    assert len(_rel_rings_batch(pdf.iloc[0:0])) == 0
+
+
 def test_cells_hierarchy():
     from pvt_spark.functions.cells import hexish_cell, s2ish_cell, s2ish_parent
 
