@@ -89,11 +89,13 @@ class BuildConfig:
     # (sources/ways.py) when the caller passes no way/relation tables
     synth_ways: int = 0
     synth_relations: int = 0
-    # "point": render each relation at its mean-h (the reference ships
-    # with relation rendering disabled, src/hilbert/leaf.rs:155-166);
-    # "rings": assemble member ways into winding-normalized
-    # outer/hole rings (relation_ring_geometry — the fixed semantics)
-    relation_geometry: str = "point"
+    # "rings" (default): assemble member ways into winding-normalized
+    # outer/hole rings (relation_ring_geometry — the fixed semantics,
+    # oracle-certified by q35); "point": render each relation at its
+    # mean-h — the documented reference-parity mode (the reference
+    # ships with relation rendering disabled due to a known bug,
+    # src/hilbert/leaf.rs:155-166)
+    relation_geometry: str = "rings"
     manifest: Manifest = field(default_factory=lambda: DEFAULT_MANIFEST)
 
     def fingerprint(self) -> str:

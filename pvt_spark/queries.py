@@ -469,6 +469,95 @@ def q34_pip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# integer twice-signed-area (shoelace) over a geom_x/geom_y row — exact,
+# so the DuckDB oracle can pin ring orientation bit-for-bit
+_SHOELACE = (
+    "aggregate(sequence(1, size(geom_x) - 1), 0L, (acc, i) -> "
+    "acc + element_at(geom_x, i) * element_at(geom_y, i + 1) "
+    "- element_at(geom_x, i + 1) * element_at(geom_y, i))"
+)
+
+
+def q35_relation_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation multipolygon assembly via the PRODUCTION operator
+    (relation_ring_geometry, pvt_spark/operators/feature_h.py): per
+    nation key k, four member ways — two open chains that must stitch
+    into the outer square, a closed hole way inside it, and a dangling
+    open way — flow through the distributed explode + equi-join +
+    sorted-mapInPandas assembly. Output per assembled ring/line:
+    vertex count, integer shoelace area2 (pins P15 winding
+    normalization: outer positive, hole REVERSED to negative), and the
+    second vertex x (pins the exact vertex order, including the hole's
+    reversal). The oracle reproduces all three rows per relation in
+    closed form — assembly, orientation and stitch order are fully
+    determined by the construction."""
+    from .operators.feature_h import relation_ring_geometry
+
+    (nation,) = load(spark, sf_dir, "nation")
+    base = nation.selectExpr("cast(n_nationkey as bigint) as k")
+    b = "k * 1000000"
+
+    def mk(off: int, xs: str, ys: str) -> DataFrame:
+        return base.selectExpr(
+            f"k * 10 + {off} as feature_id",
+            f"array({xs}) as geom_x",
+            f"array({ys}) as geom_y",
+        )
+
+    ways = (
+        # open chain A: (b,b) -> (b+s,b) -> (b+s,b+s)
+        mk(1, f"{b}, {b} + 100000, {b} + 100000", f"{b}, {b}, {b} + 100000")
+        # open chain B continues to close the square
+        .unionByName(
+            mk(2, f"{b} + 100000, {b}, {b}", f"{b} + 100000, {b} + 100000, {b}")
+        )
+        # closed hole way, positive (outer-like) winding — must be flipped
+        .unionByName(
+            mk(
+                3,
+                f"{b} + 40000, {b} + 60000, {b} + 60000, {b} + 40000, {b} + 40000",
+                f"{b} + 40000, {b} + 40000, {b} + 60000, {b} + 60000, {b} + 40000",
+            )
+        )
+        # dangling open way -> renders as a line
+        .unionByName(mk(4, f"{b} + 200000, {b} + 210000", f"{b}, {b}"))
+    )
+    rels = base.selectExpr(
+        "k as feature_id",
+        "array(named_struct('etype', 'w', 'ref', k * 10 + 1),"
+        " named_struct('etype', 'w', 'ref', k * 10 + 2),"
+        " named_struct('etype', 'w', 'ref', k * 10 + 3),"
+        " named_struct('etype', 'w', 'ref', k * 10 + 4)) as members",
+        "k as h",
+    )
+    out = relation_ring_geometry(rels, ways)
+    return out.select(
+        "feature_id",
+        F.size("geom_x").alias("n_pts"),
+        F.expr(_SHOELACE).alias("area2"),
+        F.element_at("geom_x", 2).alias("second_x"),
+    ).orderBy("feature_id", "n_pts", "area2", "second_x")
+
+
+Q35_SQL = """
+WITH ks AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+rows AS (
+  -- outer square (stitched A+B), kept positive: area2 = 2 * 100000^2
+  SELECT k AS feature_id, 5 AS n_pts, CAST(20000000000 AS BIGINT) AS area2,
+         k * 1000000 + 100000 AS second_x
+  FROM ks
+  UNION ALL
+  -- hole (side 20000), REVERSED to negative; reversal makes the second
+  -- vertex the one at x = b + 40000
+  SELECT k, 5, CAST(-800000000 AS BIGINT), k * 1000000 + 40000 FROM ks
+  UNION ALL
+  -- dangling line, original orientation: area2 = -10000 * b
+  SELECT k, 2, CAST(-10000000000 AS BIGINT) * k, k * 1000000 + 210000 FROM ks)
+SELECT feature_id, n_pts, area2, second_x
+FROM rows ORDER BY feature_id, n_pts, area2, second_x
+"""
+
+
 Q13_SQL = f"""
 WITH pts AS (
   SELECT c_custkey AS feature_id,
@@ -1654,6 +1743,7 @@ REGISTRY: dict[str, tuple] = {
     # q34 shares q13's oracle by construction: the partitioned PIP path
     # must reproduce the broadcast path's containment exactly
     "q34_pip_partitioned": (q34_pip_partitioned, Q13_SQL),
+    "q35_relation_rings": (q35_relation_rings, Q35_SQL),
 }
 
 

@@ -26,16 +26,20 @@ def test_mixed_build_end_to_end(spark):
         assert wf.count() > 0
         assert wf.where(F.col("h").isNull()).count() == 0
         assert wf.where(F.size("geom_x") != F.size("geom_y")).count() == 0
+        # default relation geometry is now "rings": one row per assembled
+        # ring/line (or the mean-h point fallback), x/y-consistent
         rf = out["relation_features"]
         assert rf.count() > 0
-        assert rf.where(F.size("geom_x") != 1).count() == 0
+        assert rf.where(F.size("geom_x") != F.size("geom_y")).count() == 0
+        n_rels = rf.select("feature_id").distinct().count()
 
         # leaf counts pivot per entity class (reference n/w/r leaf columns)
         leaves = out["leaves"]
         for c in ("n_count", "w_count", "r_count"):
             assert c in leaves.columns
         assert leaves.agg(F.sum("w_count")).first()[0] == wf.count()
-        assert leaves.agg(F.sum("r_count")).first()[0] == rf.count()
+        # r_count counts relations once, not once per ring
+        assert leaves.agg(F.sum("r_count")).first()[0] == n_rels
 
         # externals: at least one way enters a leaf beyond its home leaf
         ext = out["external"]
@@ -150,24 +154,29 @@ def test_relation_ring_geometry_multipolygon(spark):
     assert len(by_rel[11]) == 1 and len(by_rel[11][0][0]) == 1
 
 
-def test_mixed_build_relation_rings_mode(spark):
-    """build_planet with relation_geometry='rings' renders relations with
-    assembled ring geometry (size > 1) where member ways close, and the
-    tree still counts each relation once."""
+def test_default_build_assembles_rings_and_point_mode_opts_out(spark):
+    """The DEFAULT build (relation_geometry='rings') assembles real
+    multi-point relation geometry; relation_geometry='point' is the
+    documented reference-parity opt-out rendering each relation at its
+    mean-h location."""
     with tempfile.TemporaryDirectory() as tmp:
         pages = synthesize_pages(spark, 4000, seed=42)
-        cfg = BuildConfig(
-            leaf_zoom=12, synth_ways=60, synth_relations=8,
-            relation_geometry="rings",
-        )
+        cfg = BuildConfig(leaf_zoom=12, synth_ways=60, synth_relations=8)
+        assert cfg.relation_geometry == "rings"
         out = build_planet(spark, pages, os.path.join(tmp, "planet"), cfg)
         rf = out["relation_features"]
         n_rels = rf.select("feature_id").distinct().count()
         assert n_rels == 8
         # at least one relation assembled real (multi-point) geometry
         assert rf.where(F.size("geom_x") > 1).count() > 0
-        # every geometry row is x/y-consistent
-        assert rf.where(F.size("geom_x") != F.size("geom_y")).count() == 0
-        # tree r_count counts relations, not rings
-        leaves = out["leaves"]
-        assert leaves.agg(F.sum("r_count")).first()[0] == n_rels
+
+        cfg_pt = BuildConfig(
+            leaf_zoom=12, synth_ways=60, synth_relations=8,
+            relation_geometry="point",
+        )
+        out_pt = build_planet(spark, pages, os.path.join(tmp, "planet_pt"), cfg_pt)
+        rf_pt = out_pt["relation_features"]
+        assert rf_pt.where(F.size("geom_x") != 1).count() == 0
+        assert rf_pt.count() == rf_pt.select("feature_id").distinct().count()
+        leaves = out_pt["leaves"]
+        assert leaves.agg(F.sum("r_count")).first()[0] == rf_pt.count()
