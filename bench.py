@@ -291,6 +291,62 @@ def main() -> None:
         ).count()
         timings["pip_partitioned_1m_vertex"] = round(time.time() - t0, 3)
         timings["pip_partitioned_1m_vertex_matches"] = n_part
+
+        # IVF ANN at scale-credible constants: 1e5 clustered unit vectors
+        # (dim 64), sqrt(N)=317 k-means centroids (2 Lloyd rounds),
+        # nprobe 8 — recall@10 vs the brute-force oracle reported next
+        # to the walls (VERDICT r3 item 4)
+        from pvt_spark.operators.ann import (
+            brute_topk,
+            ivf_assign,
+            ivf_search,
+            kmeans_fit,
+        )
+
+        n_vec, dim, n_clusters = 100_000, 64, 1000
+        center = (
+            f"cast(pmod(xxhash64(id % {n_clusters}, j, 7), 1000) as double)"
+            " / 500.0 - 1.0"
+        )
+        noise = (
+            "(cast(pmod(xxhash64(id, j, 8), 1000) as double) / 500.0 - 1.0) * 0.15"
+        )
+        vecs = (
+            spark.range(n_vec)
+            .selectExpr(
+                "id as vec_id",
+                f"transform(sequence(0, {dim - 1}), j -> {center} + {noise}) as raw",
+            )
+            .selectExpr(
+                "vec_id",
+                "transform(raw, x -> x / sqrt(aggregate(transform(raw, y -> y * y),"
+                " 0.0D, (a, v) -> a + v))) as vec",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_cent = int(n_vec ** 0.5) + 1
+        t0 = time.time()
+        cents = kmeans_fit(vecs, n_cent, iters=2)
+        assigned = ivf_assign(vecs, cents).localCheckpoint(eager=True)
+        timings["ivf_100k_train_assign_sec"] = round(time.time() - t0, 3)
+        qs = vecs.where(f"vec_id % {n_vec // 20} = 3").selectExpr(
+            "vec_id as query_id", "vec"
+        )
+        t0 = time.time()
+        ivf_top = ivf_search(assigned, cents, qs, nprobe=8, k=10).collect()
+        timings["ivf_100k_search20_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        brute_top = brute_topk(vecs, qs, k=10).collect()
+        timings["ivf_100k_brute20_sec"] = round(time.time() - t0, 3)
+        got: dict[int, set] = {}
+        for r in ivf_top:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        want: dict[int, set] = {}
+        for r in brute_top:
+            want.setdefault(r.query_id, set()).add(r.vec_id)
+        rec = [len(got.get(q, set()) & w) / len(w) for q, w in want.items()]
+        timings["ivf_100k_recall_at_10"] = round(sum(rec) / len(rec), 3)
+        timings["ivf_100k_centroids"] = n_cent
         spark.stop()
 
         # mixed build: nodes + ways + relations + externals through the

@@ -1,0 +1,180 @@
+"""IVF approximate-nearest-neighbor over embedding columns — the
+100 TB similarity-search path, as composable DataFrame operators.
+
+The toy-constant version of this shape lives in queries.q31 (oracle-
+certified); this module is the scale path the bench exercises at 1e5+
+vectors with sqrt(N) centroids:
+
+- ``kmeans_fit``: distributed Lloyd iterations. Assignment is a
+  map-side argmin against the (always small: sqrt(N) rows) centroid
+  table broadcast as one array row — zero shuffle; the update step is
+  a posexplode to (cell, dim) rows + avg — one narrow shuffle per
+  round. No driver-side vector math, no RNG (hash-ordered
+  deterministic init). At planet scale you fit on a sample
+  (``vectors.sample(...)``) and assign the full table once.
+- ``ivf_assign``: nearest-centroid cell id per vector.
+- ``ivf_search``: per query, rank the nprobe nearest cells, then an
+  exact dot-product top-k over ONLY those cells' vectors — the
+  candidate set is a cell-restricted equi-join, never all vectors.
+
+All vector arithmetic stays JVM-side (``zip_with``/``aggregate``
+higher-order functions); no Python UDFs anywhere on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _d2(vec_col: str, cent_col: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_col}, {cent_col}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _dot(vec_col: str, q_col: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_col}, {q_col}, (x, y) -> x * y), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    n_centroids: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """vectors(id, vec array<double>) -> centroids(centroid_id bigint,
+    cv array<double>). Deterministic: init = the ``n_centroids`` rows
+    with the smallest ``xxhash64(id)`` (a hash-ordered pseudo-random
+    sample — no RNG, stable across partitionings), then ``iters``
+    Lloyd rounds. Cells that lose all members drop out (standard
+    k-means behavior), so the result may have fewer rows.
+    """
+    # init: distributed partial top-n (TakeOrderedAndProject), NOT a
+    # global-sort window — only the n winners ever leave their partitions
+    picked = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+    )
+    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    cents = picked.withColumn("_r", F.row_number().over(w)).select(
+        (F.col("_r") - 1).cast("long").alias("centroid_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+        # update: element-wise mean per cell — (cell, dim) rows keep the
+        # shuffle narrow regardless of dimension
+        dims = assigned.select(
+            "centroid_id", F.posexplode(vec_col).alias("dim", "x")
+        )
+        cents = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+                ).alias("cv")
+            )
+        )
+        # keep the centroid table materialized and small between rounds:
+        # it is broadcast into the next assignment
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """vectors + centroids -> vectors + centroid_id: nearest cell per
+    vector. ZERO shuffle: the (sqrt(N)-small) centroid table rides a
+    single-row broadcast as an array column and the argmin is a
+    map-side higher-order expression — struct ordering gives the
+    deterministic (d2, centroid_id) tie-break. The 100 TB shape:
+    assignment is embarrassingly parallel."""
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("centroid_id", "cv")).alias("_cents")
+    )
+    argmin = (
+        "array_min(transform(_cents, c -> struct("
+        f"aggregate(zip_with({vec_col}, c.cv, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v) as d2, "
+        "c.centroid_id as centroid_id))).centroid_id"
+    )
+    return (
+        vectors.crossJoin(F.broadcast(cent_arr))
+        .withColumn("centroid_id", F.expr(argmin))
+        .drop("_cents")
+    )
+
+
+def ivf_search(
+    vectors_assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """vectors_assigned(id, vec, centroid_id) x queries(query_id, vec)
+    -> (query_id, vec_id, dot, rank): exact dot-product top-k over the
+    union of each query's ``nprobe`` nearest cells.
+
+    The candidate join is ``centroid_id``-restricted: with sqrt(N)
+    cells and nprobe probes, each query scans ~nprobe/sqrt(N) of the
+    table. Queries are broadcast (they are the small side); the vector
+    table streams at any scale.
+    """
+    d2q = _d2("qv", "cv")
+    wp = Window.partitionBy(query_id_col).orderBy(F.asc("_d2"), F.asc("centroid_id"))
+    probes = (
+        queries.select(query_id_col, F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(centroids))
+        .select(query_id_col, "qv", "centroid_id", F.expr(d2q).alias("_d2"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= nprobe)
+        .select(query_id_col, "qv", "centroid_id")
+    )
+    dot = _dot(vec_col, "qv")
+    wk = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        vectors_assigned.join(F.broadcast(probes), "centroid_id")
+        .select(query_id_col, id_col, F.expr(dot).alias("dot"))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+    )
+
+
+def brute_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact dot-product top-k over ALL vectors (the recall oracle and
+    the small-scale baseline): one pass, queries broadcast."""
+    dot = _dot(vec_col, "qv")
+    wk = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        vectors.crossJoin(
+            F.broadcast(queries.select(query_id_col, F.col(vec_col).alias("qv")))
+        )
+        .select(query_id_col, id_col, F.expr(dot).alias("dot"))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+    )

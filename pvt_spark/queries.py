@@ -1376,16 +1376,24 @@ Q28_SQL = _q28_sql()
 
 def q31_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN query (the 100 TB-scale similarity-search path):
-    coarse-assign every vector to its nearest of 4 centroids (q24's
-    logic), then search ONLY the query's nprobe=2 nearest cells for the
-    top-10 by exact integer dot product. Candidate set = cell-restricted
-    equi-join, never all vectors."""
+    coarse-assign every vector to its nearest of ceil(sqrt(N))
+    centroids — the scale-correct cell count, computed from the table
+    itself on BOTH sides (Spark driver count / SQL subquery), so the
+    constants stay right at every SF — then search ONLY the query's
+    nprobe=2 nearest cells for the top-10 by exact integer dot
+    product. Candidate set = cell-restricted equi-join, never all
+    vectors. The trained-quantizer variant (distributed k-means +
+    map-side assignment) is operators/ann.py, benched at 1e5 vectors
+    with recall@10 in bench.py."""
+    import math
+
     from pyspark.sql.window import Window
 
     (emb,) = load(spark, sf_dir, "embeddings")
     q = "transform(embedding, e -> cast(round(e * 10000) as bigint))"
     quant = emb.select("vec_id", F.expr(q).alias("qv"))
-    cents = quant.where(F.col("vec_id") <= 3).select(
+    n_cent = math.ceil(math.sqrt(emb.count()))
+    cents = quant.where(F.col("vec_id") < n_cent).select(
         F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
     )
     d2 = "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
@@ -1419,7 +1427,8 @@ Q31_SQL = """
 WITH quant AS (
   SELECT vec_id, list_transform(embedding, e -> cast(round(e * 10000) AS BIGINT)) AS qv
   FROM embeddings),
-cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM quant WHERE vec_id <= 3),
+cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM quant
+          WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
 assigned AS (
   SELECT vec_id, qv, centroid_id FROM (
     SELECT q.vec_id, q.qv, c.centroid_id,
