@@ -175,6 +175,13 @@ def _phase1_stream(batches, tolerance: float, projected: bool = False):
         salt = pdf["salt"].to_numpy(dtype=np.int64)
         h = pdf["h"].to_numpy(dtype=np.int64)
         fid = pdf["feature_id"].to_numpy(dtype=np.int64)
+        # geom_seq: tie-break for multi-row features (relation rings share
+        # feature_id AND h); absent on single-geometry producers
+        seq = (
+            pdf["geom_seq"].to_numpy(dtype=np.int64)
+            if "geom_seq" in pdf.columns
+            else np.zeros(n, dtype=np.int64)
+        )
         lcodes, luniq = pd.factorize(pdf["layer"], sort=False)
         # per-row interleaved tag strings (kv) — the one per-row Python
         # pass (dict iteration has no vectorized form)
@@ -189,7 +196,7 @@ def _phase1_stream(batches, tolerance: float, projected: bool = False):
                 kv_all.append(k)
                 kv_all.append(v)
             kv_off[j + 1] = len(kv_all)
-        order = np.lexsort((fid, h, lcodes, salt, tile_h, zoom))
+        order = np.lexsort((seq, fid, h, lcodes, salt, tile_h, zoom))
         zs, ts, ss, ls = zoom[order], tile_h[order], salt[order], lcodes[order]
         new_grp = np.empty(n, dtype=bool)
         new_grp[0] = True
@@ -198,7 +205,7 @@ def _phase1_stream(batches, tolerance: float, projected: bool = False):
             | (ss[1:] != ss[:-1]) | (ls[1:] != ls[:-1])
         )
         bounds = np.append(np.flatnonzero(new_grp), n)
-        ids_s, h_s = fid[order], h[order]
+        ids_s, h_s, seq_s = fid[order], h[order], seq[order]
         nt_s, slens_s = n_tags[order], slens[order]
         # gather each row's simplified points in sorted-row order, then
         # interleave x,y once for the whole batch
@@ -219,6 +226,7 @@ def _phase1_stream(batches, tolerance: float, projected: bool = False):
                 {
                     "ids": ids_s[s:e],
                     "h": h_s[s:e],
+                    "seq": seq_s[s:e],
                     "n_tags": nt_s[s:e],
                     "kv": kv,
                     "geom_lens": slens_s[s:e],
@@ -254,13 +262,18 @@ def _merge_tile_rows(zoom: int, tile_h: int, grp: pd.DataFrame, layer_order: lis
         chunks = [pickle.loads(c) for c in lg.sort_values("salt")["chunk"]]
         ids = np.concatenate([c["ids"] for c in chunks])
         hs = np.concatenate([c["h"] for c in chunks])
+        seqs = np.concatenate(
+            [c.get("seq", np.zeros(len(c["ids"]), dtype=np.int64)) for c in chunks]
+        )
         n_tags = np.concatenate([c["n_tags"] for c in chunks])
         geom_lens = np.concatenate([c["geom_lens"] for c in chunks])
         kv_flat = np.concatenate(
             [np.asarray(c["kv"], dtype=object) for c in chunks]
         ) if chunks else np.empty(0, dtype=object)
         pts_flat = np.concatenate([c["pts"] for c in chunks])
-        order = np.lexsort((ids, hs))  # restore global (h, id) feature order
+        # restore global (h, id, seq) feature order — seq breaks the tie
+        # between a relation's multiple ring rows
+        order = np.lexsort((seqs, ids, hs))
         tag_off = np.concatenate([[0], np.cumsum(n_tags)])[:-1]
         geo_off = np.concatenate([[0], np.cumsum(geom_lens)])[:-1]
         # interleaved blocks: kv has 2 entries/tag, pts 2 entries/point
@@ -328,6 +341,9 @@ def _merge_tiles_batch(done: pd.DataFrame, layer_order: list[str]) -> list[tuple
 
     ids = np.concatenate([c["ids"] for c in chunks])
     hs = np.concatenate([c["h"] for c in chunks])
+    seqs = np.concatenate(
+        [c.get("seq", np.zeros(len(c["ids"]), dtype=np.int64)) for c in chunks]
+    )
     n_tags = np.concatenate([c["n_tags"] for c in chunks]).astype(np.int64)
     geom_lens = np.concatenate([c["geom_lens"] for c in chunks]).astype(np.int64)
     kv_flat = (
@@ -340,7 +356,7 @@ def _merge_tiles_batch(done: pd.DataFrame, layer_order: list[str]) -> list[tuple
     f_tile = np.repeat(tile_of_chunk, nfeat)
     f_lkey = np.repeat(lkey_chunk, nfeat)
     f_name = np.repeat(cl, nfeat)
-    order = np.lexsort((ids, hs, f_lkey, f_tile))
+    order = np.lexsort((seqs, ids, hs, f_lkey, f_tile))
 
     kv_off_in = np.concatenate([[0], np.cumsum(n_tags * 2)])[:-1]
     pt_off_in = np.concatenate([[0], np.cumsum(geom_lens * 2)])[:-1]
@@ -434,9 +450,12 @@ def geometry_chunks(
         ).otherwise(F.lit(0)),
     )
 
-    part1 = salted.repartition(partitions, "zoom", "tile_h", "salt").sortWithinPartitions(
-        "zoom", "tile_h", "salt", "layer", "h", "feature_id"
-    )
+    sort_cols = ["zoom", "tile_h", "salt", "layer", "h", "feature_id"]
+    if "geom_seq" in salted.columns:
+        sort_cols.append("geom_seq")
+    part1 = salted.repartition(
+        partitions, "zoom", "tile_h", "salt"
+    ).sortWithinPartitions(*sort_cols)
     return part1.mapInPandas(
         lambda it: _phase1_stream(it, tolerance, projected), CHUNK_SCHEMA
     )

@@ -15,9 +15,13 @@ src/hilbert/leaf.rs:155-166 — divergence documented per SURVEY §7.3).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
+from .. import hilbert as hb
 from ..functions.geo import zoom_h
 
 
@@ -50,6 +54,63 @@ def external_members(
         .where(F.col("node_leaf") != F.col("home_leaf"))
         .select(F.col("node_leaf").alias("leaf_h"), "_fid")
         .distinct()
+    )
+    return entered.groupBy("leaf_h").agg(
+        F.sort_array(F.collect_set("_fid")).alias("external")
+    )
+
+
+def external_members_from_geometry(
+    features: DataFrame,
+    leaf_zoom: int = 12,
+    id_col: str = "feature_id",
+) -> DataFrame:
+    """J5 off the feature's OWN u32-grid geometry arrays — no join
+    against the (planet-sized) nodes table: the zoom-z tile of a vertex
+    is the z-prefix of its h (Hilbert recursion), so
+    ``xy2h(gx >> shift, gy >> shift, z)`` equals the node-h path
+    bit-for-bit, and way_features already carries the arrays.
+
+    Features whose geometry spans a single leaf tile are dropped
+    MAP-SIDE by an array min/max span test before any encode or
+    shuffle — when no way crosses a leaf boundary, the stage's jobs
+    run over (near-)empty inputs instead of re-joining the planet
+    (VERDICT r3 item 5)."""
+    d = 1 << (32 - leaf_zoom)
+    span = (
+        f"array_min(transform(geom_x, v -> v div {d}))"
+        f" != array_max(transform(geom_x, v -> v div {d}))"
+        f" or array_min(transform(geom_y, v -> v div {d}))"
+        f" != array_max(transform(geom_y, v -> v div {d}))"
+    )
+    tiles = (
+        features.where(F.expr(span))
+        .select(
+            F.col(id_col).alias("_fid"),
+            zoom_h(F.col("h"), leaf_zoom).alias("home_leaf"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(geom_x)), i -> struct("
+                    f"element_at(geom_x, i) div {d} as tx,"
+                    f" element_at(geom_y, i) div {d} as ty))"
+                )
+            ).alias("t"),
+        )
+        .select("_fid", "home_leaf", F.col("t.tx").alias("tx"), F.col("t.ty").alias("ty"))
+        .distinct()
+    )
+
+    @F.pandas_udf(LongType())
+    def leaf_of(tx: pd.Series, ty: pd.Series) -> pd.Series:
+        hs = hb.xy2h(
+            tx.to_numpy(dtype=np.uint64), ty.to_numpy(dtype=np.uint64), leaf_zoom
+        )
+        return pd.Series(hs.astype(np.int64))
+
+    entered = (
+        tiles.withColumn("leaf_h", leaf_of(F.col("tx"), F.col("ty")))
+        .where(F.col("leaf_h") != F.col("home_leaf"))
+        .select("leaf_h", "_fid")
     )
     return entered.groupBy("leaf_h").agg(
         F.sort_array(F.collect_set("_fid")).alias("external")

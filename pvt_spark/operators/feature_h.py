@@ -22,7 +22,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from .. import hilbert as hb
 
@@ -104,7 +110,31 @@ def _ways_h_batch(pdf: pd.DataFrame, grid: bool = False) -> pd.DataFrame:
     return pd.DataFrame({"feature_id": way_ids, "h": h_out})
 
 
-def _way_h_stream(batches, grid: bool = False):
+def _ways_hgeom_batch(pdf: pd.DataFrame, grid: bool = False) -> pd.DataFrame:
+    """Fused J3 + J1: the h ladder AND the ordered u32-grid coordinate
+    arrays from ONE sorted batch. The grid projection runs here in numpy
+    (hb.lonlat_to_xy — bit-identical to the native-SQL grid_x/grid_y:
+    same IEEE ops, floor == trunc on [0,1]); in grid mode the inputs
+    already ARE the grid coords."""
+    hdf = _ways_h_batch(pdf, grid)
+    fid = pdf["feature_id"].to_numpy(dtype=np.int64)
+    n = len(fid)
+    offs = np.concatenate([[0], 1 + np.flatnonzero(fid[1:] != fid[:-1]), [n]])
+    if grid:
+        gx = pdf["cx"].to_numpy(dtype=np.int64)
+        gy = pdf["cy"].to_numpy(dtype=np.int64)
+    else:
+        x32, y32 = hb.lonlat_to_xy(
+            pdf["cx"].to_numpy(dtype=np.int64), pdf["cy"].to_numpy(dtype=np.int64)
+        )
+        gx = x32.astype(np.int64)
+        gy = y32.astype(np.int64)
+    hdf["geom_x"] = [gx[s:e].tolist() for s, e in zip(offs[:-1], offs[1:])]
+    hdf["geom_y"] = [gy[s:e].tolist() for s, e in zip(offs[:-1], offs[1:])]
+    return hdf
+
+
+def _way_h_stream(batches, grid: bool = False, batch_fn=_ways_h_batch):
     """Streaming merge over Arrow batches: a way's rows are contiguous in
     the (feature_id, pos)-sorted partition; hold back the last (possibly
     incomplete) way of each batch until the next arrives."""
@@ -120,9 +150,9 @@ def _way_h_stream(batches, grid: bool = False):
         carry = pdf[is_last]
         done = pdf[~is_last]
         if not done.empty:
-            yield _ways_h_batch(done, grid)
+            yield batch_fn(done, grid)
     if carry is not None and not carry.empty:
-        yield _ways_h_batch(carry.reset_index(drop=True), grid)
+        yield batch_fn(carry.reset_index(drop=True), grid)
 
 
 def assign_way_h(
@@ -157,6 +187,49 @@ def assign_way_h(
         .mapInPandas(lambda it: _way_h_stream(it, grid), _WAY_H_SCHEMA)
     )
     return ways.join(hs, "feature_id", "left")
+
+
+_WAY_HG_SCHEMA = StructType(
+    [
+        StructField("feature_id", LongType()),
+        StructField("h", LongType()),
+        StructField("geom_x", ArrayType(LongType())),
+        StructField("geom_y", ArrayType(LongType())),
+    ]
+)
+
+
+def assign_way_h_geometry(
+    ways: DataFrame, nodes: DataFrame, grid_cols: tuple[str, str] | None = None
+) -> DataFrame:
+    """Fused J3 + J1: ONE ref explode + equi-join and ONE feature_id
+    repartition produce BOTH the way h (interior-point ladder) and the
+    ordered u32-grid geometry arrays — assign_way_h followed by
+    way_geometry ran the identical explode/join/shuffle twice (VERDICT
+    r3 item 5). Semantics match the two-step path exactly: same h
+    ladder, same grid projection, inner join (a way with no resolved
+    refs yields no row, as in way_geometry)."""
+    cx, cy = grid_cols if grid_cols is not None else ("lon_dm7", "lat_dm7")
+    grid = grid_cols is not None
+    way_nodes = ways.select(
+        "feature_id", F.posexplode("refs").alias("pos", "ref_id")
+    ).join(
+        nodes.select(
+            F.col("feature_id").alias("ref_id"),
+            F.col(cx).alias("cx"),
+            F.col(cy).alias("cy"),
+            F.col("h").alias("node_h"),
+        ),
+        "ref_id",
+    )
+    hs = (
+        way_nodes.repartition("feature_id")
+        .sortWithinPartitions("feature_id", "pos")
+        .mapInPandas(
+            lambda it: _way_h_stream(it, grid, _ways_hgeom_batch), _WAY_HG_SCHEMA
+        )
+    )
+    return ways.join(hs, "feature_id")
 
 
 def way_geometry(
@@ -224,6 +297,12 @@ _REL_GEOM_SCHEMA = StructType(
         StructField("feature_id", LongType()),
         StructField("geom_x", ArrayType(LongType())),
         StructField("geom_y", ArrayType(LongType())),
+        # deterministic position of the ring/line within its relation's
+        # assembled output: multiple geometry rows share one feature_id
+        # (and h), so every downstream feature ordering uses geom_seq as
+        # the final tie-break — without it, payload byte order would
+        # depend on shuffle arrival order
+        StructField("geom_seq", IntegerType()),
     ]
 )
 
@@ -323,24 +402,39 @@ def _rel_rings_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     gy = pdf["geom_y"].to_numpy(dtype=object)
     n = len(fid)
     if n == 0:
-        return pd.DataFrame({"feature_id": [], "geom_x": [], "geom_y": []})
+        return pd.DataFrame(
+            {"feature_id": [], "geom_x": [], "geom_y": [], "geom_seq": []}
+        )
     offs = np.concatenate([[0], 1 + np.flatnonzero(fid[1:] != fid[:-1]), [n]])
     out_fid: list[int] = []
     out_x: list[list] = []
     out_y: list[list] = []
+    out_seq: list[int] = []
     for k in range(len(offs) - 1):
         s, e = offs[k], offs[k + 1]
         rings, lines = _assemble_rings(list(zip(gx[s:e], gy[s:e])))
         f = fid[s]
+        seq = 0
         for xs, ys in _orient_rings(rings):
             out_fid.append(f)
             out_x.append(xs.tolist())
             out_y.append(ys.tolist())
+            out_seq.append(seq)
+            seq += 1
         for xs, ys in lines:
             out_fid.append(f)
             out_x.append(xs.tolist())
             out_y.append(ys.tolist())
-    return pd.DataFrame({"feature_id": out_fid, "geom_x": out_x, "geom_y": out_y})
+            out_seq.append(seq)
+            seq += 1
+    return pd.DataFrame(
+        {
+            "feature_id": out_fid,
+            "geom_x": out_x,
+            "geom_y": out_y,
+            "geom_seq": pd.array(out_seq, dtype="int32"),
+        }
+    )
 
 
 def _rel_geom_stream(batches):
@@ -396,7 +490,9 @@ def relation_ring_geometry(
     no_geom = relations_with_h.join(
         ring_rows.select("feature_id").distinct(), "feature_id", "left_anti"
     )
-    return with_rings.unionByName(relation_point_geometry(no_geom))
+    return with_rings.unionByName(
+        relation_point_geometry(no_geom).withColumn("geom_seq", F.lit(0))
+    )
 
 
 def assign_relation_h(

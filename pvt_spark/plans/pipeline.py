@@ -44,14 +44,16 @@ from ..operators.content import (
     write_content,
     zoom_metrics_from_manifest,
 )
-from ..operators.external import external_members, external_relation_members
+from ..operators.external import (
+    external_members_from_geometry,
+    external_relation_members,
+)
 from ..operators.extract import EXTRACTOR_VERSION
 from ..operators.feature_h import (
     assign_relation_h,
-    assign_way_h,
+    assign_way_h_geometry,
     relation_point_geometry,
     relation_ring_geometry,
-    way_geometry,
 )
 from ..operators.geotag import pages_to_points
 from ..operators.hilbert_sort import hilbert_sort
@@ -60,7 +62,7 @@ from ..operators.rules import include_tags
 from ..operators.tree import build_tile_tree
 from ..sources.ways import synthesize_relations, synthesize_ways
 
-PIPELINE_VERSION = 3  # v3: content_mp stores projected int16 geometry
+PIPELINE_VERSION = 4  # v4: geom_seq rides content_mp (deterministic ring order)
 
 
 def _parquet_file_counts(path: str) -> dict[str, int]:
@@ -247,6 +249,7 @@ def _mp_rf(spark, content_mp: DataFrame, compiled, config: BuildConfig) -> DataF
         "out_tags",
         "geom_x",
         "geom_y",
+        "geom_seq",
     )
 
 
@@ -307,9 +310,11 @@ def build_planet(
             src_ways = spark.createDataFrame(
                 [], "feature_id long, refs array<long>, tags map<string,string>"
             )
+        # fused J3+J1: one explode/join + one feature_id shuffle yields
+        # both the way h and the ordered grid geometry arrays
         way_feats = stage("way_features").run(
             spark,
-            lambda: way_geometry(assign_way_h(src_ways, points_sorted), points_sorted),
+            lambda: assign_way_h_geometry(src_ways, points_sorted),
             inputs=["points_sorted"],
         )
         src_rels = relations
@@ -331,7 +336,10 @@ def build_planet(
         # 1c. external leaf membership (J5/J6): leaves a way/relation's
         #     geometry enters beyond its home leaf
         def _external() -> DataFrame:
-            ext = external_members(way_feats, points_sorted, config.leaf_zoom)
+            # leaf membership off the ways' own geometry arrays — no join
+            # against the planet-sized points table, and single-leaf ways
+            # are dropped map-side before any encode or shuffle
+            ext = external_members_from_geometry(way_feats, config.leaf_zoom)
             if rel_feats is not None:
                 ext_r = external_relation_members(
                     rel_feats, points_sorted, way_feats, config.leaf_zoom
@@ -391,10 +399,25 @@ def build_planet(
     #     full-resolution coordinates once per pyramid level and tile
     #     assembly would discard ~90% of the points post-shuffle
     def _content_mp() -> DataFrame:
-        feats = way_feats.select("feature_id", "h", "tags", "geom_x", "geom_y")
+        # geom_seq: deterministic minor key for multi-row features (a
+        # relation's rings share feature_id AND h) — carried through to
+        # the compose sorts so payload bytes never depend on shuffle
+        # arrival order. Ways are single-geometry: always 0.
+        feats = way_feats.select(
+            "feature_id", "h", "tags", "geom_x", "geom_y",
+            F.lit(0).alias("geom_seq"),
+        )
         if rel_feats is not None:
+            seq = (
+                F.col("geom_seq")
+                if "geom_seq" in rel_feats.columns
+                else F.lit(0).alias("geom_seq")
+            )
             feats = feats.unionByName(
-                rel_feats.select("feature_id", "h", "tags", "geom_x", "geom_y")
+                rel_feats.select(
+                    "feature_id", "h", "tags", "geom_x", "geom_y",
+                    seq.alias("geom_seq"),
+                )
             )
         # widen BEFORE the zoom explode: the explode multiplies each
         # feature ~13x and the projection UDF runs map-side on the
@@ -406,7 +429,7 @@ def build_planet(
         )
         c = render_content(
             feats, config.manifest, compiled,
-            carry_cols=["tags", "geom_x", "geom_y"],
+            carry_cols=["tags", "geom_x", "geom_y", "geom_seq"],
         )
         ext_pairs = external.select(
             "leaf_h", F.explode("external").alias("feature_id")

@@ -185,6 +185,49 @@ def test_relation_h_mean_and_nesting(spark):
     assert out[201] == expect_201
 
 
+def test_fused_way_h_geometry_matches_two_step(spark):
+    """assign_way_h_geometry (one explode/join + one shuffle) is
+    value-identical — h AND full-resolution grid coordinate arrays — to
+    assign_way_h followed by way_geometry (two shuffles) on the
+    minicruz fixture, including closed rings (interior-point ladder)
+    and <4-ref ways."""
+    from pvt_spark.operators.feature_h import (
+        assign_way_h_geometry,
+        way_geometry,
+    )
+
+    pts, ways, _rels = minicruz(spark, n_points=2000, n_ways=100, n_relations=10)
+    fused = {
+        r.feature_id: (r.h, tuple(r.geom_x), tuple(r.geom_y))
+        for r in assign_way_h_geometry(ways, pts).collect()
+    }
+    two_step = {
+        r.feature_id: (r.h, tuple(r.geom_x), tuple(r.geom_y))
+        for r in way_geometry(assign_way_h(ways, pts), pts).collect()
+    }
+    assert fused == two_step and len(fused) > 50
+
+
+def test_external_from_geometry_matches_node_join(spark):
+    """external_members_from_geometry (leaf tiles off the way's own grid
+    arrays, single-leaf ways dropped map-side) equals the node-join
+    path exactly on minicruz."""
+    from pvt_spark.operators.external import external_members_from_geometry
+    from pvt_spark.operators.feature_h import assign_way_h_geometry
+
+    pts, ways, _rels = minicruz(spark, n_points=2000, n_ways=100, n_relations=10)
+    wf = assign_way_h_geometry(ways, pts)
+    a = {
+        (r.leaf_h, tuple(r.external))
+        for r in external_members(wf, pts, leaf_zoom=12).collect()
+    }
+    b = {
+        (r.leaf_h, tuple(r.external))
+        for r in external_members_from_geometry(wf, leaf_zoom=12).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_rel_rings_batch_vectorized_identity():
     """Offset-run `_rel_rings_batch` (the `_ways_h_batch` slicing
     pattern) is value-identical to the per-group pandas reference on a
