@@ -13,7 +13,9 @@
   non-SQL-expressible ladder step — is pinned via a VALUES table
   computed by the same golden-tested numpy kernel), so its SQL is
   generated for the driver's compare scale (sf0.01, overridable via
-  SPARK_GRAFT_ORACLE_SF).
+  SPARK_GRAFT_ORACLE_SF). q34 certifies the partitioned (no-broadcast)
+  PIP path against q13's SQL; q35 certifies relation multipolygon
+  assembly (stitching + winding) in closed form.
 """
 
 from __future__ import annotations
