@@ -64,7 +64,7 @@ def test_kmeans_deterministic_and_converges(spark):
 def test_ivf_assign_map_side(spark):
     vecs = _clustered_vectors(spark, 500, 8, 10)
     cents = kmeans_fit(vecs, 5, iters=1)
-    assigned = ivf_assign(vecs, cents)
+    assigned = ivf_assign(vecs, cents)  # numpy/GEMM lane (default)
     # every vector assigned; assignment is the true argmin
     rows = assigned.collect()
     assert len(rows) == 500
@@ -74,9 +74,14 @@ def test_ivf_assign_map_side(spark):
         d2 = {cid: float(((v - c) ** 2).sum()) for cid, c in cv.items()}
         best = min(d2, key=lambda k: (d2[k], k))
         assert abs(d2[r.centroid_id] - d2[best]) < 1e-9
-    # plan: no shuffle of the vector table — only the tiny centroid-side
-    # single-partition agg and its broadcast
-    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    # the retained pure-SQL lane agrees everywhere (no float ties in
+    # this data) and its plan broadcasts the centroid row — no shuffle
+    # of the vector table in either lane
+    sql_assigned = ivf_assign(vecs, cents, method="sql")
+    a = {r.vec_id: r.centroid_id for r in rows}
+    b = {r.vec_id: r.centroid_id for r in sql_assigned.collect()}
+    assert a == b
+    plan = sql_assigned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
 
 
