@@ -285,9 +285,24 @@ def main() -> None:
                               * sin(2 * pi() * (i % {nvp}) / {nvp}) as bigint)
                        as int) as lat_dm7))) as rings""",
         )
+        # points side: orders-derived (10x customer count at any SF) so
+        # the partitioned bench exercises both big sides
+        pts_big = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(
+                F.col("o_orderkey").alias("feature_id"),
+                F.expr(
+                    "((o_orderkey * 2654435761) % 3600000000 + 3600000000) % 3600000000 - 1800000000"
+                ).cast("int").alias("lon_dm7"),
+                F.expr(
+                    "((o_orderkey * 2246822519) % 1700000000 + 1700000000) % 1700000000 - 850000000"
+                ).cast("int").alias("lat_dm7"),
+            )
+            .withColumn("h", hilbert_h(F.col("lon_dm7"), F.col("lat_dm7")))
+        )
         t0 = time.time()
         n_part = point_in_polygon_join_partitioned(
-            pts, polys_big, cover_zoom=7
+            pts_big, polys_big, cover_zoom=7
         ).count()
         timings["pip_partitioned_1m_vertex"] = round(time.time() - t0, 3)
         timings["pip_partitioned_1m_vertex_matches"] = n_part

@@ -79,8 +79,13 @@ def test_pip_partitioned_matches_broadcast(spark):
         star = [(int(20000000 + r * np.cos(a)), int(5000000 + 0.5 * r * np.sin(a)))
                 for r, a in zip(rad, ang)]
         star.append(star[0])
+        # wide rect OVERLAPS both the donut and the star: points inside
+        # two polygons must match both on both paths
+        ring_w = [(5000000, -1000000), (25000000, -1000000),
+                  (25000000, 11000000), (5000000, 11000000), (5000000, -1000000)]
         polys = spark.createDataFrame(
-            [(1, "donut", [ring_o, ring_h]), (2, "star", [star])],
+            [(1, "donut", [ring_o, ring_h]), (2, "star", [star]),
+             (3, "wide", [ring_w])],
             "admin_id long, name string, "
             "rings array<array<struct<lon_dm7:int, lat_dm7:int>>>",
         )
@@ -93,6 +98,11 @@ def test_pip_partitioned_matches_broadcast(spark):
         ra = sorted((r.feature_id, r.admin_id) for r in a.collect())
         rb = sorted((r.feature_id, r.admin_id) for r in b.collect())
         assert ra == rb and len(ra) > 100
+        # overlap region produces multi-matches on both paths
+        from collections import Counter
+
+        multi = [f for f, c in Counter(f for f, _ in ra).items() if c > 1]
+        assert len(multi) > 10
         # dispatch through the unified entry
         c = point_in_polygon_join(pts, polys, cover_zoom=6, strategy="partitioned")
         assert sorted((r.feature_id, r.admin_id) for r in c.collect()) == ra
