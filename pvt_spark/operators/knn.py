@@ -93,6 +93,7 @@ def knn_per_tile(
     ring: int = 1,
     max_ring: int = 8,
     grid_cols: tuple[str, str] | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """points(id, lon_dm7, lat_dm7, h) x queries(query_id, lon_dm7,
     lat_dm7, h) -> (query_id, neighbor_id, rank, d2). EXACT k-NN.
@@ -179,7 +180,8 @@ def knn_per_tile(
             df.unpersist()
         return out
 
-    n_q = queries.count()
+    # callers that know their query count skip one driver job
+    n_q = queries.count() if n_queries is None else n_queries
     r1 = run_pass(queries, ring).persist()
     ok1 = split_ok(r1, ring).persist()
     to_unpersist += [r1, ok1]

@@ -24,6 +24,13 @@ def main() -> None:
     ap.add_argument("--synthesize", type=int, default=0, help="or: generate N pages")
     ap.add_argument("--planet", required=True, help="output planet dir")
     ap.add_argument("--leaf-zoom", type=int, default=12)
+    ap.add_argument("--synth-ways", type=int, default=0,
+                    help="derive N ways from the points (mixed build)")
+    ap.add_argument("--synth-relations", type=int, default=0)
+    ap.add_argument("--relation-geometry", default="rings",
+                    choices=["rings", "point"],
+                    help="'rings' = assembled multipolygons (default); "
+                    "'point' = reference-parity mean-h rendering")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,7 +47,15 @@ def main() -> None:
     else:
         raise SystemExit("need --pages-path or --synthesize N")
 
-    out = build_planet(spark, pages, args.planet, BuildConfig(leaf_zoom=args.leaf_zoom))
+    out = build_planet(
+        spark, pages, args.planet,
+        BuildConfig(
+            leaf_zoom=args.leaf_zoom,
+            synth_ways=args.synth_ways,
+            synth_relations=args.synth_relations,
+            relation_geometry=args.relation_geometry,
+        ),
+    )
     summary = {
         "points": out["points"].count(),
         "tiles": out["tiles"].count(),
