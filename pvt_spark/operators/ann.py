@@ -5,13 +5,13 @@ The toy-constant version of this shape lives in queries.q31 (oracle-
 certified); this module is the scale path the bench exercises at 1e5+
 vectors with sqrt(N) centroids:
 
-- ``kmeans_fit``: distributed Lloyd iterations. Assignment is a
-  map-side argmin against the (always small: sqrt(N) rows) centroid
-  table broadcast as one array row — zero shuffle; the update step is
-  a posexplode to (cell, dim) rows + avg — one narrow shuffle per
-  round. No driver-side vector math, no RNG (hash-ordered
-  deterministic init). At planet scale you fit on a sample
-  (``vectors.sample(...)``) and assign the full table once.
+- ``kmeans_fit``: distributed Lloyd iterations. Assignment is
+  map-side (zero shuffle) against the always-small (sqrt(N)-row)
+  broadcast centroid set — a per-Arrow-batch BLAS matmul by default,
+  or the retained pure-SQL argmin; the update step is a posexplode to
+  (cell, dim) rows + avg — one narrow shuffle per round. No RNG
+  (hash-ordered deterministic init). At planet scale you fit on a
+  sample (``vectors.sample(...)``) and assign the full table once.
 - ``ivf_assign``: nearest-centroid cell id per vector.
 - ``ivf_search``: per query, rank the nprobe nearest cells, then an
   exact dot-product top-k over ONLY those cells' vectors — the
