@@ -219,9 +219,15 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
-            timings[f"{name}_norm"] = round(
-                timings[name] / timings["calib_queries"], 2
-            )
+        # bracket the query block with calibs and normalize by their
+        # mean: per-query adjacent sampling would cost ~1 calib per
+        # query (5-20s each on this box), so the bracket bounds the
+        # drift instead — both endpoints are reported so a reader can
+        # see when the block straddled a host swing
+        timings["calib_queries_after"] = _calib_hilbert_once()
+        q_calib = (timings["calib_queries"] + timings["calib_queries_after"]) / 2
+        for name in bench_queries:
+            timings[f"{name}_norm"] = round(timings[name] / q_calib, 2)
 
         # PIP vs a 20k-vertex jagged polygon (coastline-country analog):
         # exercises the edge-chunked ray-cast + scanline cover at the

@@ -57,11 +57,15 @@ def kmeans_fit(
     method: str = "numpy",
 ) -> DataFrame:
     """vectors(id, vec array<double>) -> centroids(centroid_id bigint,
-    cv array<double>). Deterministic: init = the ``n_centroids`` rows
-    with the smallest ``xxhash64(id)`` (a hash-ordered pseudo-random
-    sample — no RNG, stable across partitionings), then ``iters``
-    Lloyd rounds. Cells that lose all members drop out (standard
-    k-means behavior), so the result may have fewer rows.
+    cv array<double>). Init is fully deterministic: the ``n_centroids``
+    rows with the smallest ``xxhash64(id)`` (a hash-ordered
+    pseudo-random sample — no RNG, stable across partitionings). The
+    Lloyd update is deterministic up to floating point: ``avg`` merges
+    partial sums in scheduling order, so centroid coordinates can
+    differ in the last ulp across cluster layouts, which can flip a
+    near-tie assignment — runs on a fixed layout reproduce exactly.
+    Cells that lose all members drop out (standard k-means behavior),
+    so the result may have fewer rows.
     """
     # init: distributed partial top-n (TakeOrderedAndProject), NOT a
     # global-sort window — only the n winners ever leave their partitions
@@ -76,9 +80,12 @@ def kmeans_fit(
         F.col(vec_col).alias("cv"),
     )
     for _ in range(iters):
-        assigned = ivf_assign(
-            vectors, cents, id_col=id_col, vec_col=vec_col, method=method
-        )
+        if method == "numpy":
+            assigned, bc = _assign_numpy(vectors, cents, vec_col)
+        else:
+            assigned, bc = ivf_assign(
+                vectors, cents, id_col=id_col, vec_col=vec_col, method=method
+            ), None
         # update: element-wise mean per cell — (cell, dim) rows keep the
         # shuffle narrow regardless of dimension
         dims = assigned.select(
@@ -95,8 +102,15 @@ def kmeans_fit(
             )
         )
         # keep the centroid table materialized and small between rounds:
-        # it is broadcast into the next assignment
+        # it is broadcast into the next assignment. Once the new
+        # checkpoint is materialized this round's centroid broadcast is
+        # dead — release it explicitly so an N-round fit leaves no
+        # executor-side broadcast blocks behind (superseded checkpoint
+        # RDDs are dereferenced here and reclaimed by the
+        # ContextCleaner; same storage-hygiene contract as knn_per_tile)
         cents = cents.localCheckpoint(eager=True)
+        if bc is not None:
+            bc.unpersist()
     return cents
 
 
@@ -123,14 +137,17 @@ def ivf_assign(
     everywhere except ties closer than float64 rounding of the
     expanded form."""
     if method == "sql":
+        # NOTE: on an EMPTY centroid table this lane yields NULL
+        # centroid_id for every row (array_min over an empty array);
+        # the numpy lane raises instead. kmeans_fit never emits an
+        # empty table for non-empty input.
         cent_arr = centroids.agg(
             F.collect_list(F.struct("centroid_id", "cv")).alias("_cents")
         )
         argmin = (
             "array_min(transform(_cents, c -> struct("
-            f"aggregate(zip_with({vec_col}, c.cv, (x, y) -> (x - y) * (x - y)), "
-            "0.0D, (acc, v) -> acc + v) as d2, "
-            "c.centroid_id as centroid_id))).centroid_id"
+            + _d2(vec_col, "c.cv")
+            + " as d2, c.centroid_id as centroid_id))).centroid_id"
         )
         return (
             vectors.crossJoin(F.broadcast(cent_arr))
@@ -139,7 +156,16 @@ def ivf_assign(
         )
     if method != "numpy":
         raise ValueError(f"unsupported method={method}")
+    # standalone use: the centroid broadcast must outlive the returned
+    # lazy DataFrame, so it is left for the ContextCleaner (the same
+    # lifetime Spark's own broadcast joins have); kmeans_fit uses
+    # _assign_numpy directly and releases it per round
+    assigned, _bc = _assign_numpy(vectors, centroids, vec_col)
+    return assigned
 
+
+def _assign_numpy(vectors: DataFrame, centroids: DataFrame, vec_col: str):
+    """(assigned DataFrame, centroid Broadcast) — caller owns release."""
     rows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
     if not rows:
         raise ValueError("empty centroid table")
@@ -156,7 +182,7 @@ def ivf_assign(
         d = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ cm.T) + (cm * cm).sum(axis=1)[None, :]
         return pd.Series(ids[np.argmin(d, axis=1)])
 
-    return vectors.withColumn("centroid_id", nearest(F.col(vec_col)))
+    return vectors.withColumn("centroid_id", nearest(F.col(vec_col))), bc
 
 
 def ivf_search(

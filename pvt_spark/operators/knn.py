@@ -107,6 +107,12 @@ def knn_per_tile(
     planar coordinates directly instead of Mercator-projecting
     lon_dm7/lat_dm7 — the coordinates MUST live on the same u32 grid
     as ``h`` or the ring exactness guarantee is unsound.
+
+    ``n_queries``: skips the one driver count job, and MUST be the
+    EXACT row count of ``queries`` — the completeness gate compares
+    the satisfied-set count against it, so an undercount fires the
+    gate early and silently truncates the result (an overcount merely
+    forces extra escalation passes).
     """
     tile_size = float(1 << (32 - zoom))
     if grid_cols is None:

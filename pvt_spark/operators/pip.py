@@ -126,6 +126,7 @@ def point_in_polygon_join(
     cover_zoom: int = 8,
     how: str = "inner",
     strategy: str = "broadcast",
+    n_salt: int = 16,
 ) -> DataFrame:
     """points(..., lon_dm7, lat_dm7, h) x polygons(admin_id, ..., rings) ->
     matched pairs with exact containment.
@@ -139,7 +140,7 @@ def point_in_polygon_join(
     """
     if strategy == "partitioned":
         return point_in_polygon_join_partitioned(
-            points, polygons, cover_zoom=cover_zoom, how=how
+            points, polygons, cover_zoom=cover_zoom, n_salt=n_salt, how=how
         )
     if strategy != "broadcast":
         raise ValueError(f"unsupported strategy={strategy}")

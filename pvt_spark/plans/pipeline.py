@@ -341,8 +341,15 @@ def build_planet(
             # are dropped map-side before any encode or shuffle
             ext = external_members_from_geometry(way_feats, config.leaf_zoom)
             if rel_feats is not None:
+                # rings mode emits one row per assembled ring; membership
+                # only needs (feature_id, h, members) once per relation —
+                # without the dedup every member row and typed h-join
+                # would run once per ring
                 ext_r = external_relation_members(
-                    rel_feats, points_sorted, way_feats, config.leaf_zoom
+                    rel_feats.dropDuplicates(["feature_id"]),
+                    points_sorted,
+                    way_feats,
+                    config.leaf_zoom,
                 )
                 pairs = (
                     ext.select("leaf_h", F.explode("external").alias("fid"))

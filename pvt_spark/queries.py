@@ -372,7 +372,7 @@ def q12_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feature_id").alias("query_id"), "gx", "gy", "h"
     )
     out = knn_per_tile(
-        points, queries, k=3, zoom=12, grid_cols=("gx", "gy")
+        points, queries, k=3, zoom=12, grid_cols=("gx", "gy"), n_queries=5
     )
     return out.select(
         "query_id", "neighbor_id", "rank", F.col("d2").cast("long").alias("d2")
@@ -461,11 +461,13 @@ def q34_pip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile, salted-cogroup ray-cast; no collect(), no driver loop), so
     the polygon side has no broadcast ceiling. Oracle: identical SQL
     to q13 — both paths must produce the same pairs."""
-    from .operators.pip import point_in_polygon_join_partitioned
+    from .operators.pip import point_in_polygon_join
 
     pts, polys = _q13_inputs(spark, sf_dir)
     return _q13_aggregate(
-        point_in_polygon_join_partitioned(pts, polys, cover_zoom=6, n_salt=4)
+        point_in_polygon_join(
+            pts, polys, cover_zoom=6, strategy="partitioned", n_salt=4
+        )
     )
 
 

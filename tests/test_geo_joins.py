@@ -319,9 +319,12 @@ def test_knn_ring_expansion_sparse_region(spark):
     queries = _points(spark, [(-1220280000, 370490000)]).select(
         F.col("feature_id").alias("query_id"), "lon_dm7", "lat_dm7", "h"
     )
-    out = knn_per_tile(pts, queries, k=5, zoom=12, ring=1, max_ring=2048)
+    out = knn_per_tile(
+        pts, queries, k=5, zoom=12, ring=1, max_ring=2048, n_queries=1
+    )
     rows = out.collect()
     # must find 5 neighbors despite only 3 living near the query tile
+    # (exact n_queries hint: same result, one fewer driver job)
     assert len(rows) == 5
     near_ids = {0, 1, 2}
     got_near = {r.neighbor_id for r in rows if r.rank <= 3}
