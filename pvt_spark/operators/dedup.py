@@ -1,0 +1,118 @@
+"""Near-duplicate group resolution: candidate pairs -> connected
+components -> canonical survivor per group.
+
+The LSH / Jaccard / embedding stages (q19, q21, q29) emit CANDIDATE
+PAIRS; a production dedup pipeline must then transitively close those
+pairs into duplicate GROUPS and keep one canonical document per group.
+The survivor policy mirrors the engine's first-seen dedup semantics
+(F5, ``operators/external.py``; reference analog
+``/root/reference/src/hilbert/leaf.rs`` leaf-dedup keeping the first
+occurrence in h order): within a group the smallest doc_id survives.
+
+Scale notes (100 TB): min-label propagation converges in O(component
+diameter) supersteps. Real-web LSH dup components are overwhelmingly
+tiny stars (a handful of near-identical pages around one template), so
+3-5 supersteps close planet-scale graphs. Each superstep is one
+shuffle keyed on doc_id; the symmetric edge list is built once,
+persisted, and re-read unshuffled every iteration. Convergence is
+detected by the monotone sum-of-labels invariant (labels only ever
+decrease, so the total strictly decreases iff any label moved) — one
+scalar aggregate per superstep on checkpointed data, no row-level diff
+join. For adversarially long chains, the same equi-join primitive
+slots into alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) for
+O(log^2 n) supersteps; not needed at observed web dup shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _drop_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint'ed DataFrame's RDD blocks.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries (from
+    ``persist()``); a local checkpoint persists its RDD directly, so the
+    blocks must be dropped on the RDD handle inside the LogicalRDD leaf.
+    Best-effort: a plan-shape change across Spark versions degrades to
+    the old leak-until-session-end behavior, never to an error.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Transitive closure of an undirected candidate-pair graph.
+
+    pairs: DataFrame with two id columns (``src``, ``dst``), one row
+    per undirected edge (duplicates and orientation don't matter).
+    Returns (doc_id, group_id) for every id that appears in a pair,
+    where group_id is the minimum id in the connected component.
+    Deterministic: min-label propagation has a unique fixpoint.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "group_id", F.col("doc_id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("group_id")).collect()[0][0]
+    try:
+        for _ in range(max_iters):
+            # superstep: every node offers its label to each neighbor;
+            # a node keeps the min of its own label and all offers
+            msgs = edges.join(
+                labels, edges["a"] == labels["doc_id"], "inner"
+            ).select(F.col("b").alias("doc_id"), "group_id")
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("doc_id")
+                .agg(F.min("group_id").alias("group_id"))
+            ).localCheckpoint(eager=True)
+            new_sum = new_labels.agg(F.sum("group_id")).collect()[0][0]
+            # the superseded checkpoint is dead once the new one is
+            # materialized — drop its blocks so a long-lived session
+            # keeps exactly ONE labels snapshot (kNN hygiene convention)
+            _drop_checkpoint(labels)
+            labels = new_labels
+            if new_sum == prev_sum:  # monotone invariant -> fixpoint
+                break
+            prev_sum = new_sum
+    finally:
+        edges.unpersist()
+    return labels
+
+
+def dedup_groups(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Candidate pairs -> (doc_id, group_id, group_size, is_canonical).
+
+    is_canonical (int 1/0) marks the group survivor (min doc_id) — the
+    row set a pipeline KEEPS; the complement is the drop list. Docs
+    with no candidate pair are trivially canonical and not returned
+    (a full keep-list is an anti-join of the corpus against the
+    ``is_canonical = 0`` rows — no reason to materialize the corpus
+    here).
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    sizes = comp.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return comp.join(sizes, "group_id").select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        (F.col("doc_id") == F.col("group_id")).cast("int").alias("is_canonical"),
+    )

@@ -857,6 +857,50 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q36_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup group resolution — the step a 100 TB pipeline runs AFTER
+    LSH candidates: q21's pairs -> connected components (min-label
+    propagation, ``operators/dedup.py``) -> group id (min doc_id),
+    group size, canonical-survivor flag. Oracle closes the same graph
+    with a recursive reachability CTE."""
+    from pvt_spark.operators.dedup import dedup_groups
+
+    pairs = q21_lsh_bands(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_groups(pairs).orderBy("doc_id")
+
+
+Q36_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+mh AS (
+  SELECT doc_id,
+    {', '.join(f'min((({a} * {_DX}) % 1152921504606846989 + {a * 7919}) % 1152921504606846989) AS mh{a}' for a in range(1, 9))}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh1::VARCHAR || '_' || mh2::VARCHAR) AS bucket FROM mh
+  UNION ALL SELECT doc_id, 1, md5(mh3::VARCHAR || '_' || mh4::VARCHAR) FROM mh
+  UNION ALL SELECT doc_id, 2, md5(mh5::VARCHAR || '_' || mh6::VARCHAR) FROM mh
+  UNION ALL SELECT doc_id, 3, md5(mh7::VARCHAR || '_' || mh8::VARCHAR) FROM mh),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION SELECT doc_b, doc_a FROM cand),
+reach(a, b) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a),
+sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY group_id)
+SELECT doc_id, group_id, group_size,
+       CAST(doc_id = group_id AS INTEGER) AS is_canonical
+FROM comp JOIN sizes USING (group_id)
+ORDER BY doc_id
+"""
+
+
 def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over tokens (sign of per-bit +-1 vote)."""
     (docs,) = load(spark, sf_dir, "documents")
@@ -1755,6 +1799,7 @@ REGISTRY: dict[str, tuple] = {
     # must reproduce the broadcast path's containment exactly
     "q34_pip_partitioned": (q34_pip_partitioned, Q13_SQL),
     "q35_relation_rings": (q35_relation_rings, Q35_SQL),
+    "q36_dedup_groups": (q36_dedup_groups, Q36_SQL),
 }
 
 
