@@ -29,20 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _drop_checkpoint(df: DataFrame) -> None:
-    """Release a localCheckpoint'ed DataFrame's RDD blocks.
-
-    ``DataFrame.unpersist()`` only clears CacheManager entries (from
-    ``persist()``); a local checkpoint persists its RDD directly, so the
-    blocks must be dropped on the RDD handle inside the LogicalRDD leaf.
-    Best-effort: a plan-shape change across Spark versions degrades to
-    the old leak-until-session-end behavior, never to an error.
-    """
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+from pvt_spark.session import drop_local_checkpoint as _drop_checkpoint
 
 
 def connected_components(

@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 )
 
 from .. import hilbert as hb
+from ..session import drop_local_checkpoint
 
 _WAY_H_SCHEMA = StructType(
     [StructField("feature_id", LongType()), StructField("h", LongType())]
@@ -567,12 +568,18 @@ def assign_relation_h(
         ready = ready_of(pending_mem, members_all).localCheckpoint(eager=True)
         n_ready = ready.count()
         if n_ready == 0:
+            drop_local_checkpoint(ready)
             break
         resolved = resolved.unionByName(ready)
         n_pending -= n_ready
         if n_pending <= 0:
             break
-        pending_mem = pending_mem.join(
+        next_pending = pending_mem.join(
             ready.select("feature_id"), "feature_id", "left_anti"
         ).localCheckpoint(eager=True)
+        # the shrunk member set supersedes the old checkpoint; `ready`
+        # snapshots stay live on purpose (referenced by `resolved`)
+        drop_local_checkpoint(pending_mem)
+        pending_mem = next_pending
+    drop_local_checkpoint(pending_mem)
     return relations.join(resolved, "feature_id", "left")

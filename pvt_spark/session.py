@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(
@@ -60,3 +60,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def drop_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint'ed DataFrame's RDD blocks.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries (from
+    ``persist()``); a local checkpoint persists its RDD directly, so the
+    blocks must be dropped on the RDD handle inside the LogicalRDD leaf.
+    Iterative operators (dedup label propagation, the nested-relation
+    fixed point) call this on each superseded snapshot so a long-lived
+    session keeps exactly one live snapshot per loop. Best-effort: a
+    plan-shape change across Spark versions degrades to the old
+    leak-until-session-end behavior, never to an error.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
