@@ -213,6 +213,9 @@ def main() -> None:
             "q23_embedding_topk",
             "q26_hilbert_leaves",
             "q27_tile_tree",
+            # full dedup pipeline: LSH bands -> candidate pairs ->
+            # connected components -> canonical survivors
+            "q36_dedup_groups",
         ]
         for name in bench_queries:
             fn, _sql = REGISTRY[name]
