@@ -15,7 +15,11 @@
   generated for the driver's compare scale (sf0.01, overridable via
   SPARK_GRAFT_ORACLE_SF). q34 certifies the partitioned (no-broadcast)
   PIP path against q13's SQL; q35 certifies relation multipolygon
-  assembly (stitching + winding) in closed form.
+  assembly (stitching + winding) in closed form; q36 certifies dedup
+  group resolution (recursive-CTE closure); q37 certifies the H3/S2-
+  style cell index (face-Hilbert packing + parent algebra + hex cells
+  — the hex float path bit-exact via round_even, the Hilbert step via
+  the unrolled CTE).
 """
 
 from __future__ import annotations

@@ -21,6 +21,9 @@ self-consistent equi-joins on our ids).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from .. import hilbert as hb
 
@@ -69,11 +72,30 @@ def _st_warp(u: np.ndarray) -> np.ndarray:
     return np.clip(s, 0.0, 1.0)
 
 
+def pack_s2ish(face, si, ti, level: int = 12) -> np.ndarray:
+    """Integer core: (face, si, ti at ``level``) -> int64 cell id.
+
+    Layout: (face << 60) | (hilbert_at_level << 2*(MAX_LEVEL-level))
+    — lexicographic prefix containment across levels on the same face.
+    Pure integer math (certified against the DuckDB unrolled-Hilbert
+    oracle in q37; the order-32 CTE equals the level-L encode for
+    coords < 2^L because the leading zero-bit iterations contribute 0
+    to d and their x/y swaps cancel in pairs).
+    """
+    assert 0 <= level <= MAX_LEVEL
+    face = np.asarray(face, dtype=np.uint64)
+    si = np.asarray(si, dtype=np.uint64)
+    ti = np.asarray(ti, dtype=np.uint64)
+    h = hb.xy2h(si, ti, level) if level > 0 else np.zeros(len(si), dtype=np.uint64)
+    cell = (face << np.uint64(60)) | (h << np.uint64(2 * (MAX_LEVEL - level)))
+    return cell.view(np.int64)
+
+
 def s2ish_cell(lon_dm7, lat_dm7, level: int = 12) -> np.ndarray:
     """dm7 int arrays -> int64 cell ids at the given level (<= 30).
 
-    Layout: (face << 63-3) | (hilbert_at_level << 2*(MAX_LEVEL-level))
-    — lexicographic prefix containment across levels on the same face.
+    Float face projection + quadratic warp (golden/locality-tested in
+    pytest), then the integer ``pack_s2ish`` core.
     """
     assert 0 <= level <= MAX_LEVEL
     lon = np.asarray(lon_dm7, dtype=np.float64) / 1e7
@@ -85,11 +107,7 @@ def s2ish_cell(lon_dm7, lat_dm7, level: int = 12) -> np.ndarray:
     n = np.uint64(1) << np.uint64(level)
     si = np.minimum((s * float(n)).astype(np.uint64), n - np.uint64(1))
     ti = np.minimum((t * float(n)).astype(np.uint64), n - np.uint64(1))
-    h = hb.xy2h(si, ti, level) if level > 0 else np.zeros(len(si), dtype=np.uint64)
-    cell = (face.astype(np.uint64) << np.uint64(60)) | (
-        h << np.uint64(2 * (MAX_LEVEL - level))
-    )
-    return cell.view(np.int64)
+    return pack_s2ish(face.astype(np.uint64), si, ti, level)
 
 
 def s2ish_parent(cell: np.ndarray, level: int, parent_level: int) -> np.ndarray:
@@ -130,3 +148,35 @@ def hexish_cell(lon_dm7, lat_dm7, resolution: int = 8) -> np.ndarray:
     qi = rx.astype(np.int64) + (1 << 27)
     ri = rz.astype(np.int64) + (1 << 27)
     return (np.int64(resolution) << np.int64(56)) | (qi << np.int64(28)) | ri
+
+
+# --- Spark column wrappers (Arrow-batched pandas UDFs over the numpy
+# kernels; one UDF instance per (kernel, level) closure) ---------------
+
+
+def pack_s2ish_col(face, si, ti, level: int = 12):
+    @F.pandas_udf(LongType())
+    def _k(f: pd.Series, s: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            pack_s2ish(f.to_numpy(), s.to_numpy(), t.to_numpy(), level)
+        )
+
+    return _k(face, si, ti)
+
+
+def s2ish_parent_col(cell, level: int, parent_level: int):
+    @F.pandas_udf(LongType())
+    def _k(c: pd.Series) -> pd.Series:
+        return pd.Series(s2ish_parent(c.to_numpy(), level, parent_level))
+
+    return _k(cell)
+
+
+def hexish_cell_col(lon_dm7, lat_dm7, resolution: int = 8):
+    @F.pandas_udf(LongType())
+    def _k(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            hexish_cell(lon.to_numpy(), lat.to_numpy(), resolution)
+        )
+
+    return _k(lon_dm7, lat_dm7)

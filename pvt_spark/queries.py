@@ -1755,6 +1755,101 @@ WHERE 1 = 0
 """
 
 
+def q37_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/S2-style discrete global grid index (``functions/cells.py``,
+    the north rule's "H3/S2 index" alongside the PVT Hilbert ids).
+
+    Certifies the INTEGER algebra end-to-end: the S2-style face-Hilbert
+    cell packing at level 12 (``pack_s2ish``), the parent-cell prefix
+    truncation 12->8 (``s2ish_parent``), and the full hexagonal cell
+    (axial transform + cube rounding, ``hexish_cell``) at res 2. Face
+    and (si, ti) come from pure int key math on both sides; the oracle
+    recomputes the curve position with the unrolled order-32 Hilbert
+    CTE (== the level-12 encode for coords < 2^12: the 20 leading
+    zero-bit iterations add 0 to d and their x/y swaps cancel in
+    pairs) and the hex cell with the identical float expression tree
+    (banker's rounding via round_even). The float gnomonic face
+    projection/quadratic warp feeding ``s2ish_cell`` in production is
+    golden/locality-tested in pytest (not SQL-portable bit-exactly).
+    """
+    from .functions.cells import hexish_cell_col, pack_s2ish_col, s2ish_parent_col
+
+    (cust,) = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("feature_id"),
+        (F.col("c_custkey") % 6).alias("face"),
+        F.expr("(c_custkey * 2654435761) % 4096").alias("si"),
+        F.expr("(c_custkey * 2246822519) % 4096").alias("ti"),
+        F.expr("(c_custkey * 2654435761) % 3600000000 - 1800000000").alias("lon_dm7"),
+        F.expr("(c_custkey * 2246822519) % 1700000000 - 850000000").alias("lat_dm7"),
+    )
+    return (
+        pts.withColumn(
+            "s2_cell", pack_s2ish_col(F.col("face"), F.col("si"), F.col("ti"), 12)
+        )
+        .select(
+            "feature_id",
+            "s2_cell",
+            s2ish_parent_col(F.col("s2_cell"), 12, 8).alias("s2_parent"),
+            hexish_cell_col(F.col("lon_dm7"), F.col("lat_dm7"), 2).alias("hex_cell"),
+        )
+        .orderBy("feature_id")
+    )
+
+
+_Q37_PTS = (
+    "SELECT c_custkey AS feature_id, "
+    "(c_custkey * 2654435761) % 4096 AS x, "
+    "(c_custkey * 2246822519) % 4096 AS y FROM customer"
+)
+_q37_ctes, _q37_last = _duck_hilbert_ctes(_Q37_PTS)
+Q37_SQL = f"""
+WITH {_q37_ctes},
+pts AS (
+  SELECT c_custkey AS feature_id,
+    ((c_custkey * 2654435761) % 3600000000 - 1800000000) / 1e7 AS lon,
+    ((c_custkey * 2246822519) % 1700000000 - 850000000) / 1e7 AS lat
+  FROM customer),
+ax AS (
+  SELECT feature_id,
+    (sqrt(3.0)/3.0*lon - 1.0/3.0*lat)/(360.0/32) AS xc,
+    (2.0/3.0*lat)/(360.0/32) AS zc
+  FROM pts),
+cr AS (
+  SELECT feature_id, xc, zc, -xc-zc AS yc,
+    round_even(xc, 0) AS rx, round_even(-xc-zc, 0) AS ry,
+    round_even(zc, 0) AS rz
+  FROM ax),
+fx AS (
+  SELECT feature_id, rx, ry, rz,
+    (abs(rx-xc) > abs(ry-yc)) AND (abs(rx-xc) > abs(rz-zc)) AS fix_x,
+    NOT((abs(rx-xc) > abs(ry-yc)) AND (abs(rx-xc) > abs(rz-zc)))
+      AND (abs(rz-zc) > abs(ry-yc)) AS fix_z
+  FROM cr),
+f2 AS (
+  SELECT feature_id, ry, rz, fix_z,
+    CASE WHEN fix_x THEN -ry-rz ELSE rx END AS rx2
+  FROM fx),
+hex AS (
+  SELECT feature_id,
+    (CAST(2 AS BIGINT)*(1::BIGINT<<56))
+      | ((CAST(rx2 AS BIGINT)+(1<<27))*(1::BIGINT<<28))
+      | (CAST(CASE WHEN fix_z THEN -rx2-ry ELSE rz END AS BIGINT)+(1<<27))
+      AS hex_cell
+  FROM f2),
+cells AS (
+  SELECT feature_id,
+    CAST((feature_id % 6)*(1::HUGEINT<<60) + d*(1::HUGEINT<<36) AS BIGINT)
+      AS s2_cell,
+    CAST((feature_id % 6)*(1::HUGEINT<<60)
+         + (d // 256)*(1::HUGEINT<<44) AS BIGINT) AS s2_parent
+  FROM {_q37_last})
+SELECT c.feature_id, c.s2_cell, c.s2_parent, x.hex_cell
+FROM cells c JOIN hex x USING (feature_id)
+ORDER BY feature_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1800,6 +1895,7 @@ REGISTRY: dict[str, tuple] = {
     "q34_pip_partitioned": (q34_pip_partitioned, Q13_SQL),
     "q35_relation_rings": (q35_relation_rings, Q35_SQL),
     "q36_dedup_groups": (q36_dedup_groups, Q36_SQL),
+    "q37_cell_index": (q37_cell_index, Q37_SQL),
 }
 
 

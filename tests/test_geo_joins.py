@@ -309,6 +309,29 @@ def test_cells_hierarchy():
     assert a[0] == b[0] != far[0]
     hx = hexish_cell(lon, lat, 8)
     assert len(np.unique(hx)) > 100
+    # integer packing core: s2ish_cell == float projection -> pack_s2ish
+    from pvt_spark.functions.cells import pack_s2ish
+
+    face = np.array([0, 5, 3], dtype=np.uint64)
+    si = np.array([0, 4095, 1234], dtype=np.uint64)
+    ti = np.array([4095, 0, 987], dtype=np.uint64)
+    packed = pack_s2ish(face, si, ti, 12)
+    assert np.array_equal(s2ish_parent(packed, 12, 12), packed)
+    # prefix property: truncating the curve position == packing the
+    # coarsened coords (same invariant the Hilbert tile ids rely on)
+    assert np.array_equal(
+        s2ish_parent(packed, 12, 8),
+        pack_s2ish(face, si >> np.uint64(4), ti >> np.uint64(4), 8),
+    )
+
+
+def test_q37_cell_index_matches_duckdb_oracle(spark):
+    from pvt_spark.queries import compare_against_oracle
+
+    res = compare_against_oracle(
+        spark, "/root/testdata/sf0.001", names={"q37_cell_index"}
+    )
+    assert res["q37_cell_index"].get("match") is True, res
 
 
 def test_knn_ring_expansion_sparse_region(spark):
