@@ -371,6 +371,34 @@ def main() -> None:
         rec = [len(got.get(q, set()) & w) / len(w) for q, w in want.items()]
         timings["ivf_100k_recall_at_10"] = round(sum(rec) / len(rec), 3)
         timings["ivf_100k_centroids"] = n_cent
+
+        # dedup grouping at web-dup shape: 1.84M candidate edges =
+        # 200k stars of 10 docs (the dominant real LSH shape) + 10k
+        # chains of 5 (diameter 4 forces multiple supersteps). The CC
+        # loop moves only label-scale rows per superstep; the edge
+        # list is partitioned + sorted once, never re-shuffled.
+        from pvt_spark.operators.dedup import dedup_groups
+
+        n_star, star_sz = 200_000, 10
+        star_edges = spark.range(n_star * (star_sz - 1)).selectExpr(
+            f"(id div {star_sz - 1}) * {star_sz} as doc_a",
+            f"(id div {star_sz - 1}) * {star_sz} + (id % {star_sz - 1}) + 1"
+            " as doc_b",
+        )
+        c0, n_chain, chain_len = 10_000_000, 10_000, 5
+        chain_edges = spark.range(n_chain * (chain_len - 1)).selectExpr(
+            f"{c0} + (id div {chain_len - 1}) * {chain_len}"
+            f" + (id % {chain_len - 1}) as doc_a",
+            f"{c0} + (id div {chain_len - 1}) * {chain_len}"
+            f" + (id % {chain_len - 1}) + 1 as doc_b",
+        )
+        cc_edges = star_edges.unionByName(chain_edges).localCheckpoint(
+            eager=True
+        )
+        t0 = time.time()
+        n_groups = dedup_groups(cc_edges).where("is_canonical = 1").count()
+        timings["cc_1m8_edges_sec"] = round(time.time() - t0, 3)
+        timings["cc_1m8_edges_groups"] = n_groups  # expect 210,000
         spark.stop()
 
         # mixed build: nodes + ways + relations + externals through the

@@ -55,7 +55,7 @@ def connected_components(
     # Superstep shuffle width follows the EDGE count, not the
     # session-wide conf — 1 on an 11k-edge test, thousands at 10^12
     # docs. (The count doubles as sym's materialization.)
-    n_parts = max(1, -(-sym.count() // 2_000_000))
+    n_parts = max(1, -(-sym.count() // 500_000))
     # Hash-partition the big side ONCE on the probe key and sort within
     # partitions: the checkpoint preserves partitioning AND ordering, so
     # every superstep's sort-merge join satisfies its distribution from
