@@ -89,6 +89,41 @@ def streaming_leaf_counts(
     )
 
 
+def streaming_dedup_pages(
+    pages_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact streaming dedup on the content fingerprint: the FIRST
+    arrival of each md5(whitespace-normalized lowercase extracted
+    text) — q18's fingerprint over the SAME versioned extract kernel —
+    passes; re-crawls and mirrors arriving within the watermark
+    horizon are dropped (``dropDuplicatesWithinWatermark``).
+
+    State is bounded: fingerprints whose event time falls behind
+    max(event time) - watermark are evicted, so an unbounded crawl
+    stream runs in bounded memory — the at-scale requirement a plain
+    streaming ``dropDuplicates`` (state grows forever) cannot meet.
+    First-arrival-wins matches the batch first-seen dedup semantics
+    (F5; ``operators/dedup`` keeps the min doc_id the same way).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.extract import extract_pages
+
+    docs = extract_pages(pages_stream).withColumn(
+        "fingerprint",
+        F.md5(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("extracted_text"))), r"\s+", " "
+            )
+        ),
+    )
+    return (
+        docs.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("page_id", "url", "warc_ts", "fingerprint")
+    )
+
+
 def run_ingest(
     spark: SparkSession,
     pages_dir: str,

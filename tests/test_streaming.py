@@ -88,3 +88,53 @@ def test_streaming_windowed_leaf_counts(spark, tmp_path):
     emitted = spark.sql("SELECT count(*) n FROM leafappend").first().n
     total_windows = len(got)
     assert emitted < total_windows  # the newest window is still open
+
+
+def test_streaming_dedup_first_seen_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates across file drops are
+    dropped, each distinct fingerprint survives exactly once, and the
+    kept set equals the batch distinct-fingerprint oracle."""
+    from pyspark.sql import functions as F
+
+    from pvt_spark.operators.extract import extract_pages
+    from pvt_spark.sources.pages import PAGES_SCHEMA
+    from pvt_spark.streaming.incremental import streaming_dedup_pages
+
+    pages_dir = str(tmp_path / "pages")
+    # drop 1: 100 pages; drop 2: the SAME 100 pages (re-crawl) + 50 new
+    synthesize_pages(spark, 100, seed=42, partitions=2).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    synthesize_pages(spark, 100, seed=42, partitions=1).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    synthesize_pages(spark, 50, seed=7, partitions=1).write.mode(
+        "append"
+    ).parquet(pages_dir)
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    q = (
+        streaming_dedup_pages(stream, watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("dedup_pages")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = spark.sql("SELECT fingerprint FROM dedup_pages").collect()
+
+    batch = extract_pages(spark.read.parquet(pages_dir)).select(
+        F.md5(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("extracted_text"))), r"\s+", " "
+            )
+        ).alias("fingerprint")
+    )
+    want = {r.fingerprint for r in batch.distinct().collect()}
+    got = [r.fingerprint for r in kept]
+    # exactly once per distinct fingerprint (the 100 re-crawled pages drop)
+    assert len(got) == len(set(got)) == len(want)
+    assert set(got) == want
+    # and duplicates existed in the input (the test would be vacuous)
+    assert spark.read.parquet(pages_dir).count() > len(want)
