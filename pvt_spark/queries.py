@@ -1850,6 +1850,74 @@ ORDER BY feature_id
 """
 
 
+# messy crawl-URL variants from doc_id (same literal SQL both engines):
+# mixed-case scheme/host, www. prefixes, explicit :443, utm params in
+# leading and trailing positions, fragments, trailing slashes
+_Q38_URL = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END, "
+    "'Site', CAST(doc_id % 50 AS VARCHAR), '.Example.COM', "
+    "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END, "
+    "'/path/', CAST(doc_id % 20 AS VARCHAR), "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_campaign=x' "
+    "     WHEN doc_id % 7 = 1 THEN '?q=1&utm_medium=mail' ELSE '' END, "
+    "CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def q38_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dup counting
+    (``functions/urls.canonical_url`` — pure native SQL, whole-stage
+    codegen, the web-corpus dedup precursor). Messy variants are
+    synthesized from doc_id with the same literal SQL on both sides;
+    the oracle mirrors the canonicalization chain step for step
+    (common Java-regex/RE2 subset, no backreferences)."""
+    from pyspark.sql.window import Window
+
+    from .functions.urls import canonical_url
+
+    (docs,) = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("canonical_url")
+    return (
+        docs.selectExpr(
+            "doc_id", _Q38_URL.replace("AS VARCHAR", "AS STRING") + " AS url"
+        )
+        .withColumn("canonical_url", canonical_url(F.col("url")))
+        .withColumn("n_variants", F.count(F.lit(1)).over(w))
+        .select("doc_id", "url", "canonical_url", "n_variants")
+        .orderBy("doc_id")
+    )
+
+
+Q38_SQL = f"""
+WITH raw AS (SELECT doc_id, {_Q38_URL} AS url FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS u1 FROM raw),
+s2 AS (
+  SELECT doc_id, url, u1,
+    lower(regexp_extract(u1, '^([A-Za-z]+://[^/?]*)', 1)) AS head,
+    substring(u1, length(regexp_extract(u1, '^([A-Za-z]+://[^/?]*)', 1)) + 1)
+      AS rest
+  FROM s1),
+s3 AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(head, '://www\\.', '://'),
+                   ':(80|443)$', '') AS head,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_replace(rest, 'utm_[^&]*&', '', 'g'),
+                       '[?&]utm_[^&]*$', ''),
+        '\\?&', '?'),
+      '[?/]+$', '') AS rest
+  FROM s2),
+canon AS (SELECT doc_id, url, head || rest AS canonical_url FROM s3)
+SELECT doc_id, url, canonical_url,
+       count(*) OVER (PARTITION BY canonical_url) AS n_variants
+FROM canon ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1896,6 +1964,7 @@ REGISTRY: dict[str, tuple] = {
     "q35_relation_rings": (q35_relation_rings, Q35_SQL),
     "q36_dedup_groups": (q36_dedup_groups, Q36_SQL),
     "q37_cell_index": (q37_cell_index, Q37_SQL),
+    "q38_url_canonical": (q38_url_canonical, Q38_SQL),
 }
 
 
