@@ -104,6 +104,82 @@ def connected_components(
     return labels
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold_milli: int = 900,
+    id_col: str = "vec_id",
+    vec_col: str = "qv",
+    assign_method: str = "sql",
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster-assign every vector, find near-identical
+    pairs WITHIN each cluster only, transitively close them, keep the
+    min-id survivor per group.
+
+    Inputs are integer-quantized vectors (``vec_col``: array<bigint>)
+    and a centroid table (centroid_id, cv) — quantize unit-norm float
+    embeddings at scale <= ~1700 (squared norm <= ~2.9e6) so the
+    integer cosine test below stays inside int64:
+
+        cos(a, b) >= t/1000   <=>   dot > 0  AND
+        1_000_000 * dot^2 >= t^2 * |a|^2 * |b|^2
+
+    — exact integer arithmetic end to end, no float divergence between
+    engines (certified vs a DuckDB oracle as q39).
+
+    Scale shape (100 TB): assignment is shuffle-free
+    (``ann.ivf_assign``); the pairwise stage is an equi-join on
+    centroid_id (AQE skew-splittable), quadratic only WITHIN a cell —
+    with k = ceil(sqrt(N)) cells this is the published SemDeDup
+    operating point; group closure reuses ``connected_components``
+    (one id-scale shuffle per superstep). Nothing driver-side beyond
+    the sqrt(N)-small centroid table.
+    """
+    from .ann import ivf_assign
+
+    t = int(threshold_milli)
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, method=assign_method
+    )
+    withn = assigned.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "centroid_id",
+        F.expr(
+            f"aggregate(transform({vec_col}, x -> x * x), 0L, (acc, v) -> acc + v)"
+        ).alias("n2"),
+    )
+    dot = (
+        f"aggregate(zip_with(a.{vec_col}, b.{vec_col}, (x, y) -> x * y), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        withn.alias("a")
+        .join(
+            withn.alias("b"),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.expr(dot).alias("dot"),
+            F.col("a.n2").alias("na"),
+            F.col("b.n2").alias("nb"),
+        )
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(1_000_000) * F.col("dot") * F.col("dot")
+                >= F.lit(t * t) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("doc_a", "doc_b")
+    )
+    return dedup_groups(pairs)
+
+
 def dedup_groups(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
 ) -> DataFrame:

@@ -1918,6 +1918,217 @@ FROM canon ORDER BY doc_id
 """
 
 
+def q39_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup through the PRODUCTION operator
+    (``operators/dedup.semantic_dedup``): quantize embeddings to
+    integers (scale 1000 keeps the cosine test in int64), plant
+    deterministic near-duplicate copies IN INTEGER SPACE (every 25th
+    vector reappears at vec_id+1000 with qv[0]+50 — same literal
+    construction on both sides, the q38 pattern), cluster-assign to
+    the first ceil(sqrt(N)) base vectors, within-cell integer-cosine
+    pairs at 0.9, transitive groups via connected components. Natural
+    pairs top out at cos ~0.51 in this table, so the expected groups
+    are exactly the planted (orig, orig+1000) stars that land in a
+    shared cell — and the oracle recomputes assignment + closure
+    independently (recursive CTE), so that agreement is checked, not
+    assumed."""
+    import math
+
+    from pvt_spark.operators.dedup import semantic_dedup
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = "transform(embedding, e -> cast(round(e * 1000) as bigint))"
+    base = emb.select("vec_id", F.expr(q).alias("qv"))
+    n_cent = math.ceil(math.sqrt(emb.count()))
+    copies = base.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr(
+            "concat(array(element_at(qv, 1) + 50L), slice(qv, 2, size(qv) - 1))"
+        ).alias("qv"),
+    )
+    cents = base.where(F.col("vec_id") < n_cent).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    aug = base.unionByName(copies)
+    return semantic_dedup(aug, cents, threshold_milli=900).orderBy("doc_id")
+
+
+Q39_SQL = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(round(e * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+aug AS (
+  SELECT vec_id, qv FROM base
+  UNION ALL
+  SELECT vec_id + 1000, list_concat([qv[1] + 50], qv[2:]) FROM base
+  WHERE vec_id % 25 = 0),
+cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM base
+          WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+asg AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             cast(list_sum(list_transform(range(1, len(v.qv) + 1),
+                  i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT) ASC,
+             c.centroid_id ASC) AS rn
+    FROM aug v, cents c) WHERE rn = 1),
+asg2 AS (
+  SELECT v.vec_id, v.qv, s.centroid_id,
+         cast(list_sum(list_transform(v.qv, x -> x * x)) AS BIGINT) AS n2
+  FROM aug v JOIN asg s USING (vec_id)),
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         cast(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+         a.n2 AS na, b.n2 AS nb
+  FROM asg2 a JOIN asg2 b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE dot > 0 AND 1000000 * dot * dot >= 810000 * na * nb),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a),
+sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY group_id)
+SELECT doc_id, group_id, group_size,
+       CAST(doc_id = group_id AS INTEGER) AS is_canonical
+FROM comp JOIN sizes USING (group_id)
+ORDER BY doc_id
+"""
+
+
+def q40_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation funnel — the composed pipeline a training-data
+    run actually executes, with per-stage retention accounting
+    (CCNet/RefinedWeb stage order): URL-level dedup (canonical_url
+    first-seen, q38's synthesis + ``functions/urls``) -> language
+    filter (q17's stopword vote) -> quality floor (q16's stopword
+    ratio >= 20 milli) -> exact-content dedup (md5 first-seen among
+    survivors). ONE pass: stage membership is computed as monotone
+    boolean flags per document (two window shuffles: canonical_url,
+    text hash), then a single aggregate emits the 4-row funnel — no
+    per-stage rescans, the shape that matters when each scan is
+    100 TB."""
+    from pyspark.sql.window import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    en = "size(filter(split(text,' '), t -> t IN ('the','a','and','of')))"
+    de = "size(filter(split(text,' '), t -> t IN ('der','die','das','und')))"
+    fr = "size(filter(split(text,' '), t -> t IN ('le','la','et','des')))"
+    stop = """size(filter(split(text,' '),
+         t -> t IN ('the','a','of','to','and','in'))) * 1000
+         div size(split(text,' '))"""
+    from .functions.urls import canonical_url
+
+    staged = (
+        docs.selectExpr(
+            "doc_id",
+            "text",
+            _Q38_URL.replace("AS VARCHAR", "AS STRING") + " AS url",
+            f"{en} > {de} AND {en} > {fr} AS is_en",
+            f"{stop} >= 20 AS quality_ok",
+        )
+        .withColumn("canonical_url", canonical_url(F.col("url")))
+        .withColumn(
+            "pass1",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("canonical_url")),
+        )
+        .withColumn("pass2", F.col("pass1") & F.col("is_en"))
+        .withColumn("pass3", F.col("pass2") & F.col("quality_ok"))
+        .withColumn(
+            "pass4",
+            F.col("pass3")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("pass3"), F.col("doc_id"))).over(
+                    Window.partitionBy(F.md5(F.col("text")))
+                )
+            ),
+        )
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("pass1").cast("long")).alias("n1"),
+        F.sum(F.col("pass2").cast("long")).alias("n2"),
+        F.sum(F.col("pass3").cast("long")).alias("n3"),
+        F.sum(F.col("pass4").cast("long")).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "1, 'url_dedup',   n0, n1, "
+        "2, 'langid_en',   n1, n2, "
+        "3, 'quality',     n2, n3, "
+        "4, 'exact_dedup', n3, n4) AS (stage, stage_name, rows_in, rows_out)"
+    ).selectExpr(
+        "stage",
+        "stage_name",
+        "rows_in",
+        "rows_out",
+        "rows_out * 1000 div rows_in AS retained_milli",
+    )
+
+
+Q40_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, text, {_Q38_URL} AS url,
+    {_D_EN} > {_D_DE} AND {_D_EN} > {_D_FR} AS is_en,
+    len(list_filter(string_split(text,' '),
+        t -> t IN ('the','a','of','to','and','in'))) * 1000
+      // len(string_split(text,' ')) >= 20 AS quality_ok
+  FROM documents),
+s1 AS (SELECT *, regexp_replace(url, '#.*', '', 'g') AS u1 FROM raw),
+s2 AS (
+  SELECT *, lower(regexp_extract(u1, '^([A-Za-z]+://[^/?]*)', 1)) AS head,
+    substring(u1, length(regexp_extract(u1, '^([A-Za-z]+://[^/?]*)', 1)) + 1)
+      AS rest
+  FROM s1),
+s3 AS (
+  SELECT doc_id, text, is_en, quality_ok,
+    regexp_replace(regexp_replace(head, '://www\\.', '://'), ':(80|443)$', '')
+    || regexp_replace(
+         regexp_replace(
+           regexp_replace(regexp_replace(rest, 'utm_[^&]*&', '', 'g'),
+                          '[?&]utm_[^&]*$', ''),
+           '\\?&', '?'),
+         '[?/]+$', '') AS canonical_url
+  FROM s2),
+flagged AS (
+  SELECT doc_id, text, is_en, quality_ok,
+    doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS pass1
+  FROM s3),
+flagged2 AS (
+  SELECT *,
+    pass1 AND is_en AS pass2,
+    pass1 AND is_en AND quality_ok AS pass3
+  FROM flagged),
+flagged3 AS (
+  SELECT *,
+    pass3 AND doc_id = min(CASE WHEN pass3 THEN doc_id END)
+                        OVER (PARTITION BY md5(text)) AS pass4
+  FROM flagged2),
+agg AS (
+  SELECT count(*) AS n0,
+    sum(CAST(pass1 AS BIGINT)) AS n1, sum(CAST(pass2 AS BIGINT)) AS n2,
+    sum(CAST(pass3 AS BIGINT)) AS n3, sum(CAST(pass4 AS BIGINT)) AS n4
+  FROM flagged3),
+funnel AS (
+  SELECT 1 AS stage, 'url_dedup' AS stage_name, n0 AS rows_in, n1 AS rows_out FROM agg
+  UNION ALL SELECT 2, 'langid_en', n1, n2 FROM agg
+  UNION ALL SELECT 3, 'quality', n2, n3 FROM agg
+  UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM agg)
+SELECT stage, stage_name,
+       CAST(rows_in AS BIGINT) AS rows_in, CAST(rows_out AS BIGINT) AS rows_out,
+       CAST(rows_out * 1000 // rows_in AS BIGINT) AS retained_milli
+FROM funnel ORDER BY stage
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1965,6 +2176,8 @@ REGISTRY: dict[str, tuple] = {
     "q36_dedup_groups": (q36_dedup_groups, Q36_SQL),
     "q37_cell_index": (q37_cell_index, Q37_SQL),
     "q38_url_canonical": (q38_url_canonical, Q38_SQL),
+    "q39_semantic_dedup": (q39_semantic_dedup, Q39_SQL),
+    "q40_corpus_funnel": (q40_corpus_funnel, Q40_SQL),
 }
 
 

@@ -78,3 +78,86 @@ def test_q36_matches_duckdb_oracle(spark, sf_dir):
 
     res = compare_against_oracle(spark, sf_dir, names={"q36_dedup_groups"})
     assert res["q36_dedup_groups"].get("match") is True, res
+
+
+def _sem(spark, vecs, cents, thr=900):
+    from pvt_spark.operators.dedup import semantic_dedup
+
+    v = spark.createDataFrame(vecs, "vec_id long, qv array<bigint>")
+    c = spark.createDataFrame(cents, "centroid_id long, cv array<bigint>")
+    return {r.doc_id: r for r in semantic_dedup(v, c, threshold_milli=thr).collect()}
+
+
+def test_semantic_dedup_within_cell_pair(spark):
+    # two near-identical vectors near centroid 0, one distinct vector
+    # near centroid 1; cos(a, b) ~ 0.9999 > 0.9 -> one group of 2
+    a = [1000, 0, 0]
+    b = [1000, 50, 0]
+    c = [0, 0, 1000]
+    got = _sem(
+        spark,
+        [(1, a), (2, b), (3, c)],
+        [(0, [900, 0, 0]), (1, [0, 0, 900])],
+    )
+    assert set(got) == {1, 2}
+    assert got[1].group_id == 1 and got[1].is_canonical == 1
+    assert got[2].group_id == 1 and got[2].is_canonical == 0
+    assert got[1].group_size == 2
+
+
+def test_semantic_dedup_cell_restriction_is_real(spark):
+    """A pair ABOVE the cosine threshold in DIFFERENT cells is not
+    found — the documented SemDeDup approximation (pairwise work is
+    restricted to within-cluster; that is what makes it scale)."""
+    a = [1000, 10, 0]
+    b = [1000, -10, 0]  # cos(a, b) ~ 0.9998
+    got = _sem(
+        spark,
+        [(1, a), (2, b)],
+        # boundary centroids split the near-identical pair
+        [(0, [1000, 10, 0]), (1, [1000, -10, 0])],
+    )
+    assert got == {}
+
+
+def test_semantic_dedup_threshold_excludes_moderate_pairs(spark):
+    # cos = 0.8 exactly: [6,8,0]x[10,0,0] -> dot=60, na=100, nb=100
+    # at scale: dot=600000, na=nb=1000000 -> cos 0.6? recompute:
+    # use [600,800,0] and [1000,0,0]: dot=600000, na=nb=1e6, cos=0.6
+    got = _sem(
+        spark,
+        [(1, [600, 800, 0]), (2, [1000, 0, 0])],
+        [(0, [500, 500, 0])],
+        thr=900,
+    )
+    assert got == {}
+    # same pair passes at a 0.5 threshold
+    got = _sem(
+        spark,
+        [(1, [600, 800, 0]), (2, [1000, 0, 0])],
+        [(0, [500, 500, 0])],
+        thr=500,
+    )
+    assert set(got) == {1, 2} and got[2].group_id == 1
+
+
+def test_semantic_dedup_transitive_chain_one_group(spark):
+    # a~b and b~c but a!~c: SemDeDup groups transitively via CC
+    a = [1000, 0, 0]
+    b = [950, 312, 0]   # cos(a,b) ~ 0.95
+    c = [806, 592, 0]   # cos(b,c) ~ 0.95, cos(a,c) ~ 0.806
+    got = _sem(spark, [(1, a), (2, b), (3, c)], [(0, [900, 300, 0])], thr=900)
+    assert set(got) == {1, 2, 3}
+    assert {r.group_id for r in got.values()} == {1}
+    assert got[1].group_size == 3
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_q39_q40_match_duckdb_oracle(spark, sf_dir):
+    from pvt_spark.queries import compare_against_oracle
+
+    res = compare_against_oracle(
+        spark, sf_dir, names={"q39_semantic_dedup", "q40_corpus_funnel"}
+    )
+    assert res["q39_semantic_dedup"].get("match") is True, res
+    assert res["q40_corpus_funnel"].get("match") is True, res
