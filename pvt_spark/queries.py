@@ -1923,7 +1923,7 @@ def q39_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/dedup.semantic_dedup``): quantize embeddings to
     integers (scale 1000 keeps the cosine test in int64), plant
     deterministic near-duplicate copies IN INTEGER SPACE (every 25th
-    vector reappears at vec_id+1000 with qv[0]+50 — same literal
+    vector reappears at vec_id+1000000 with qv[0]+50 — same literal
     construction on both sides, the q38 pattern), cluster-assign to
     the first ceil(sqrt(N)) base vectors, within-cell integer-cosine
     pairs at 0.9, transitive groups via connected components. Natural
@@ -1941,7 +1941,7 @@ def q39_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id", F.expr(q).alias("qv"))
     n_cent = math.ceil(math.sqrt(emb.count()))
     copies = base.where(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 1000).alias("vec_id"),
+        (F.col("vec_id") + 1000000).alias("vec_id"),
         F.expr(
             "concat(array(element_at(qv, 1) + 50L), slice(qv, 2, size(qv) - 1))"
         ).alias("qv"),
@@ -1960,7 +1960,7 @@ WITH RECURSIVE base AS (
 aug AS (
   SELECT vec_id, qv FROM base
   UNION ALL
-  SELECT vec_id + 1000, list_concat([qv[1] + 50], qv[2:]) FROM base
+  SELECT vec_id + 1000000, list_concat([qv[1] + 50], qv[2:]) FROM base
   WHERE vec_id % 25 = 0),
 cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM base
           WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
