@@ -2129,6 +2129,59 @@ FROM funnel ORDER BY stage
 """
 
 
+def q41_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the raster/vector-analytics staple: aggregate
+    a per-point measurement over every admin polygon that contains the
+    point. Composes the PRODUCTION partitioned PIP join (polygons stay
+    a DataFrame, no broadcast ceiling — the zoning layer at planet
+    scale is itself large) with an exact integer aggregate: count,
+    sum, min/max, and mean in milli units. Point values are
+    synthesized deterministically from the feature id (same literal
+    SQL both sides, the q38 pattern)."""
+    from .operators.pip import point_in_polygon_join
+
+    pts, polys = _q13_inputs(spark, sf_dir)
+    pts = pts.withColumn("value", F.expr("(feature_id * 48271) % 1000"))
+    matched = point_in_polygon_join(
+        pts, polys, cover_zoom=6, strategy="partitioned", n_salt=4
+    )
+    return (
+        matched.groupBy(F.col("admin_id").alias("n_nationkey"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("point_count"),
+            F.sum("value").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.expr("sum(value) * 1000 div count(1)").alias("value_mean_milli"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+Q41_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS feature_id,
+         {_SYNTH_LON} AS lon_dm7,
+         {_SYNTH_LAT} AS lat_dm7,
+         (c_custkey * 48271) % 1000 AS value
+  FROM customer),
+rects AS (
+  SELECT n_nationkey, n_name,
+         (n_nationkey::BIGINT % 5) * 720000000 - 1800000000 AS west,
+         (n_nationkey::BIGINT % 5) * 720000000 - 1440000000 AS east,
+         (n_nationkey::BIGINT // 5) * 340000000 - 850000000 AS south,
+         (n_nationkey::BIGINT // 5) * 340000000 - 510000000 AS north
+  FROM nation)
+SELECT n_nationkey, n_name, count(*) AS point_count,
+       CAST(sum(value) AS BIGINT) AS value_sum,
+       min(value) AS value_min, max(value) AS value_max,
+       CAST(sum(value) * 1000 // count(*) AS BIGINT) AS value_mean_milli
+FROM pts JOIN rects
+  ON lon_dm7 >= west AND lon_dm7 < east AND lat_dm7 >= south AND lat_dm7 < north
+GROUP BY n_nationkey, n_name ORDER BY n_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2178,6 +2231,7 @@ REGISTRY: dict[str, tuple] = {
     "q38_url_canonical": (q38_url_canonical, Q38_SQL),
     "q39_semantic_dedup": (q39_semantic_dedup, Q39_SQL),
     "q40_corpus_funnel": (q40_corpus_funnel, Q40_SQL),
+    "q41_zonal_stats": (q41_zonal_stats, Q41_SQL),
 }
 
 

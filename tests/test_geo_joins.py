@@ -429,3 +429,14 @@ def test_knn_bulk_distributed(spark):
         want = [(int(i), float(d2[i])) for i in order]
         have = sorted(by_q[row.query_id])
         assert [(n, d) for _, n, d in have] == want, row.query_id
+
+
+def test_q41_zonal_stats_matches_duckdb_oracle(spark):
+    """Zonal statistics through the partitioned PIP path: exact
+    integer count/sum/min/max/mean per admin polygon."""
+    from pvt_spark.queries import compare_against_oracle
+
+    res = compare_against_oracle(
+        spark, "/root/testdata/sf0.001", names={"q41_zonal_stats"}
+    )
+    assert res["q41_zonal_stats"].get("match") is True, res
