@@ -19,7 +19,10 @@
   group resolution (recursive-CTE closure); q37 certifies the H3/S2-
   style cell index (face-Hilbert packing + parent algebra + hex cells
   — the hex float path bit-exact via round_even, the Hilbert step via
-  the unrolled CTE).
+  the unrolled CTE). q38-q41 certify the web-corpus curation surface
+  and its geo composition: URL canonicalization, SemDeDup semantic
+  dedup (independent recursive-CTE closure), the one-scan curation
+  funnel, and zonal statistics over the partitioned PIP join.
 """
 
 from __future__ import annotations

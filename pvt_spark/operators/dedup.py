@@ -134,7 +134,10 @@ def semantic_dedup(
     with k = ceil(sqrt(N)) cells this is the published SemDeDup
     operating point; group closure reuses ``connected_components``
     (one id-scale shuffle per superstep). Nothing driver-side beyond
-    the sqrt(N)-small centroid table.
+    the centroid table — and k is the caller's lever: at 10^12 docs a
+    full sqrt(N) = 10^6-centroid table is ~0.5 GB broadcast-side, so
+    cap k around 10^5 (SemDeDup's own regime) or shard the assignment
+    rather than reaching for more cells.
     """
     from .ann import ivf_assign
 

@@ -8,9 +8,6 @@ exactly the run boundaries the comments claim.
 
 import datetime as dt
 
-import pandas as pd
-import pytest
-
 from pvt_spark.streaming.sessions import sessionize_stream
 
 T0 = dt.datetime(2024, 3, 1, 10, 0, 0)
