@@ -47,3 +47,54 @@ def test_q38_matches_duckdb_oracle(spark, sf_dir):
 
     res = compare_against_oracle(spark, sf_dir, names={"q38_url_canonical"})
     assert res["q38_url_canonical"].get("match") is True, res
+
+
+# -- property: canonical_url is a PROJECTION on well-formed crawl URLs
+# (f(f(u)) == f(u)) — the contract that makes it safe as a dedup key.
+# Components are alphanumeric (no 'utm'/'www' lookalikes outside the
+# designated prefixes), matching what a crawler frontier emits.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_label = st.from_regex(r"[a-zA-Z][a-zA-Z0-9]{0,8}", fullmatch=True).filter(
+    lambda s: "utm" not in s.lower() and "www" not in s.lower()
+)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "hTtPs"]))
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    host = ".".join(draw(st.lists(_label, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080", ":81"]))
+    path = "".join("/" + draw(_label) for _ in range(draw(st.integers(0, 3))))
+    slash = draw(st.sampled_from(["", "/"]))
+    n_params = draw(st.integers(0, 4))
+    params = []
+    for _ in range(n_params):
+        key = draw(
+            st.one_of(
+                _label,
+                st.sampled_from(["utm_source", "utm_medium", "utm_campaign"]),
+            )
+        )
+        params.append(f"{key}={draw(_label)}")
+    query = "?" + "&".join(params) if params else draw(st.sampled_from(["", "?"]))
+    frag = draw(st.sampled_from(["", "#x", "#frag1"]))
+    return f"{scheme}://{www}{host}{port}{path}{slash}{query}{frag}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_urls(), min_size=40, max_size=40))
+def test_canonical_url_idempotent_on_crawl_urls(spark, urls):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = df.select(
+        "url",
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    bad = [(r.url, r.c1, r.c2) for r in out if r.c1 != r.c2]
+    assert not bad, bad[:5]
