@@ -124,6 +124,109 @@ def streaming_dedup_pages(
     )
 
 
+def dirty_tiles_for_points(points: DataFrame, leaf_zoom: int = 12) -> DataFrame:
+    """Distinct pyramid tiles (zoom, tile_h) whose content a set of new
+    points invalidates: each point's leaf tile plus every even-zoom
+    ancestor up to z0 (tree masks and pyramid counts aggregate leaf
+    rows, so any ancestor can change — A4/A5 rollup semantics,
+    reference src/hilbert/tree.rs child-mask rollup).
+
+    Scale shape: distinct the LEAF ids first (partial agg shrinks each
+    partition to its unique leaves before the one shuffle), then explode
+    the ~7-entry ancestor ladder off the already-unique leaves — the
+    second distinct is bounded by tile count, never point count.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.geo import zoom_h
+
+    leaves = points.select(
+        zoom_h(F.col("h"), leaf_zoom).alias("leaf_h")
+    ).dropDuplicates(["leaf_h"])
+    zooms = list(range(leaf_zoom, -1, -2))
+    return (
+        leaves.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(z).cast("int").alias("zoom"),
+                            F.shiftrightunsigned(
+                                F.col("leaf_h"), 2 * (leaf_zoom - z)
+                            ).alias("tile_h"),
+                        )
+                        for z in zooms
+                    ]
+                )
+            ).alias("t")
+        )
+        .select("t.zoom", "t.tile_h")
+        .dropDuplicates(["zoom", "tile_h"])
+    )
+
+
+def run_dirty_tile_log(
+    spark: SparkSession,
+    pages_dir: str,
+    log_dir: str,
+    checkpoint_dir: str,
+    leaf_zoom: int = 12,
+    await_termination: bool = True,
+):
+    """Streaming dirty-tile invalidation log: per micro-batch, append
+    the distinct (zoom, tile_h) set that batch's pages invalidate,
+    keyed by the micro-batch id.
+
+    ``foreachBatch`` + dynamic partition overwrite on ``batch_id``
+    makes replays idempotent — a re-executed batch rewrites its own
+    partition instead of double-appending — so the log is exactly-once
+    per micro-batch under the stream's checkpoint. A periodic compactor
+    reads ``dirty_tiles_since(last_high_water)`` and rebuilds ONLY
+    those pyramid tiles, the incremental analog of the reference's
+    whole-stage rebuild (its resume unit is a full stage file;
+    src/manifest.rs stage gating).
+    """
+    from pyspark.sql import functions as F
+
+    stream = incremental_points(read_pages_stream(spark, pages_dir))
+
+    def log_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            dirty_tiles_for_points(batch_df, leaf_zoom)
+            .withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)  # dirty set is tile-bounded; one file per batch
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(log_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(log_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def dirty_tiles_since(
+    spark: SparkSession, log_dir: str, after_batch_id: int = -1
+) -> DataFrame:
+    """Compactor read side: distinct dirty (zoom, tile_h) logged after
+    the given high-water batch id (partition-pruned on batch_id)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(log_dir)
+        .where(F.col("batch_id") > after_batch_id)
+        .select("zoom", "tile_h")
+        .dropDuplicates(["zoom", "tile_h"])
+    )
+
+
 def run_ingest(
     spark: SparkSession,
     pages_dir: str,

@@ -138,3 +138,59 @@ def test_streaming_dedup_first_seen_bounded_state(spark, tmp_path):
     assert set(got) == want
     # and duplicates existed in the input (the test would be vacuous)
     assert spark.read.parquet(pages_dir).count() > len(want)
+
+
+def test_streaming_dirty_tile_log(spark, tmp_path):
+    """Invalidation log: per-drop dirty sets match the batch oracle,
+    the log is keyed by batch, and re-running with no new files
+    appends nothing."""
+    from pvt_spark.operators.extract import extract_pages
+    from pvt_spark.operators.geotag import geotag
+    from pvt_spark.streaming.incremental import (
+        dirty_tiles_for_points,
+        dirty_tiles_since,
+        run_dirty_tile_log,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    log_dir = str(tmp_path / "dirty")
+    ckpt = str(tmp_path / "ckpt")
+
+    def oracle(pages_df):
+        pts = geotag(extract_pages(pages_df))
+        return {
+            (r.zoom, r.tile_h)
+            for r in dirty_tiles_for_points(pts, leaf_zoom=12).collect()
+        }
+
+    # drop 1
+    d1 = synthesize_pages(spark, 200, seed=42, partitions=2)
+    d1.write.mode("append").parquet(pages_dir)
+    run_dirty_tile_log(spark, pages_dir, log_dir, ckpt, leaf_zoom=12)
+    got1 = {
+        (r.zoom, r.tile_h)
+        for r in dirty_tiles_since(spark, log_dir).collect()
+    }
+    assert got1 == oracle(d1) and got1
+    # every non-leaf dirty tile's z+2 children that are dirty roll up to it
+    by_zoom = {}
+    for z, th in got1:
+        by_zoom.setdefault(z, set()).add(th)
+    for z in range(12, 1, -2):
+        assert {th >> 4 for th in by_zoom[z]} <= by_zoom[z - 2]
+
+    hw1 = spark.read.parquet(log_dir).agg({"batch_id": "max"}).first()[0]
+
+    # no new files: checkpoint replays nothing, log unchanged
+    run_dirty_tile_log(spark, pages_dir, log_dir, ckpt, leaf_zoom=12)
+    assert spark.read.parquet(log_dir).count() == len(got1)
+
+    # drop 2: only the NEW pages' tiles appear after the high-water mark
+    d2 = synthesize_pages(spark, 60, seed=7, partitions=1)
+    d2.write.mode("append").parquet(pages_dir)
+    run_dirty_tile_log(spark, pages_dir, log_dir, ckpt, leaf_zoom=12)
+    got2 = {
+        (r.zoom, r.tile_h)
+        for r in dirty_tiles_since(spark, log_dir, after_batch_id=hw1).collect()
+    }
+    assert got2 == oracle(d2) and got2
