@@ -1,0 +1,348 @@
+"""Incremental planet compaction — rebuild ONLY dirty tiles.
+
+The reference's resume unit is a whole stage file (src/main.rs:87-113:
+convert -> sort -> tree -> render re-run end-to-end when input
+changes). At crawl scale a new micro-batch touches a tiny fraction of
+the tile pyramid, so rebuilding the world per drop is the wrong cost
+shape. This module maintains the build incrementally, log-structured:
+
+- **points / content are append-only**: a delta batch's points and
+  rule-pyramid content rows append to the existing stage snapshots
+  (both derivations are purely per-feature, so appends compose —
+  feature ids are content-derived ``xxhash64(url, mention_idx)`` and
+  identical between a delta build and a full rebuild).
+- **the tile tree merges associatively at the LEAF level** (counts
+  sum, h_min/h_max combine) and interior zooms rebuild from the merged
+  leaf set: leaves are tile-bounded (never point-bounded), so the
+  16x-shrinking rollup costs seconds regardless of planet size, while
+  the expensive leaves-from-points aggregation runs on the delta only.
+- **tile payloads recompose for DIRTY tiles only** — the invalidation
+  set from ``streaming.incremental.dirty_tiles_for_points`` (each
+  delta point's leaf + even-zoom ancestor ladder). Recomposed tiles
+  land in a new ``tiles_delta/gen=N`` generation; ``read_tiles``
+  resolves latest-generation-wins per (zoom, tile_h). Work scales
+  with the dirty-tile content, not the planet.
+
+Scale note on the dirty-content scan: the exact dirty-key restriction
+is a broadcast semi-join (the dirty set is tile-bounded), fronted by a
+coarse per-zoom ``tile_h BETWEEN min AND max`` predicate that DOES
+push down to parquet row-group stats — content is written tile_h-
+sorted within zoom partitions, so most of the planet's row groups are
+skipped before the join runs.
+
+Equivalence contract (tested): base build + N compactions produces
+md5-identical tile payloads, an identical tree, and an identical
+manifest to one full rebuild over the concatenated pages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..manifest import compile_rules
+from ..operators.compose import compose_points_presorted
+from ..operators.content import (
+    render_content,
+    tile_manifest,
+    write_content,
+    zoom_metrics_from_manifest,
+)
+from ..operators.geotag import pages_to_points
+from ..operators.hilbert_sort import hilbert_sort
+from ..operators.leaves import build_leaves
+from ..operators.tree import build_tile_tree
+from ..streaming.incremental import dirty_tiles_for_points
+from .pipeline import BuildConfig, _featureize, _layer_order, _points_rf
+
+
+def _stage_path(planet_dir: str, name: str) -> str:
+    return os.path.join(planet_dir, name)
+
+
+def _swap_write(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """Overwrite a stage dir that ``df`` may itself be reading from:
+    materialize to a sibling tmp dir first, then swap. (On an object
+    store this becomes a metadata commit — Iceberg snapshot swap.)"""
+    tmp = path + "__compact_tmp"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def _refresh_lineage(planet_dir: str, name: str, gen: int) -> None:
+    """Keep a compacted stage's sidecar honest: recount rows from the
+    parquet footers and stamp the compaction generation."""
+    from .pipeline import _parquet_file_counts
+
+    path = _stage_path(planet_dir, name)
+    lpath = os.path.join(path, "_lineage.json")
+    lin = {}
+    if os.path.exists(lpath):
+        with open(lpath) as f:
+            lin = json.load(f)
+    counts = _parquet_file_counts(path)
+    lin.update(
+        {
+            "row_count": int(sum(counts.values())),
+            "partitions": counts,
+            "compaction_gen": gen,
+        }
+    )
+    with open(lpath, "w") as f:
+        json.dump(lin, f, indent=1, sort_keys=True)
+
+
+def merge_leaf_levels(
+    old_leaf_level: DataFrame, delta_leaves: DataFrame
+) -> DataFrame:
+    """Associative merge of two leaf aggregates -> build_leaves schema.
+
+    ``old_leaf_level`` is the tree's zoom==leaf_zoom slice (tile_h key);
+    ``delta_leaves`` is ``build_leaves`` output (leaf_h key). Count
+    columns missing on either side (entity pivots from mixed builds)
+    are zero-filled so a points-only delta merges into a mixed base.
+    """
+    def entity_counts(cols) -> list[str]:
+        # leaf_count is derived (1 per leaf row), not an entity count —
+        # build_tile_tree re-adds it
+        return [c for c in cols if c.endswith("_count") and c != "leaf_count"]
+
+    old = old_leaf_level.select(
+        F.col("tile_h").alias("leaf_h"),
+        *entity_counts(old_leaf_level.columns),
+        "h_min",
+        "h_max",
+    )
+    count_cols = sorted(
+        set(entity_counts(old.columns)) | set(entity_counts(delta_leaves.columns))
+    )
+
+    def align(df: DataFrame) -> DataFrame:
+        cols = [F.col("leaf_h")]
+        for c in count_cols:
+            cols.append(
+                F.col(c).alias(c) if c in df.columns else F.lit(0).cast("long").alias(c)
+            )
+        return df.select(*cols, "h_min", "h_max")
+
+    return (
+        align(old)
+        .unionByName(align(delta_leaves))
+        .groupBy("leaf_h")
+        .agg(
+            *[F.sum(c).alias(c) for c in count_cols],
+            F.min("h_min").alias("h_min"),
+            F.max("h_max").alias("h_max"),
+        )
+    )
+
+
+def _dirty_content(
+    spark: SparkSession, content_path: str, dirty: DataFrame
+) -> DataFrame:
+    """Content rows restricted to the dirty (zoom, tile_h) set, with a
+    row-group-skipping coarse range predicate in front of the exact
+    broadcast semi-join."""
+    ranges = dirty.groupBy("zoom").agg(
+        F.min("tile_h").alias("lo"), F.max("tile_h").alias("hi")
+    ).collect()
+    content = spark.read.parquet(content_path)
+    coarse = None
+    for r in ranges:
+        p = (
+            (F.col("zoom") == r.zoom)
+            & (F.col("tile_h") >= r.lo)
+            & (F.col("tile_h") <= r.hi)
+        )
+        coarse = p if coarse is None else (coarse | p)
+    if coarse is not None:
+        content = content.where(coarse)
+    return content.join(F.broadcast(dirty), ["zoom", "tile_h"], "left_semi")
+
+
+def compact_planet(
+    spark: SparkSession,
+    planet_dir: str,
+    delta_pages: DataFrame,
+    config: BuildConfig | None = None,
+) -> dict:
+    """Fold a delta page batch into an existing points-only planet build.
+
+    Returns a summary dict (generation, dirty tile count, delta rows).
+    ``config`` must fingerprint-match the base build — compacting under
+    different rules would splice tiles rendered under two manifests.
+    """
+    config = config or BuildConfig()
+    fp = config.fingerprint()
+    lpath = os.path.join(_stage_path(planet_dir, "points_sorted"), "_lineage.json")
+    with open(lpath) as f:
+        base_fp = json.load(f).get("fingerprint")
+    if base_fp != fp:
+        raise ValueError(
+            "compaction config fingerprint does not match the base build"
+        )
+    compiled = compile_rules(config.manifest)
+    t0 = time.time()
+
+    delta_dir = os.path.join(planet_dir, "tiles_delta")
+    gens = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(delta_dir)
+        if d.startswith("gen=")
+    ] if os.path.isdir(delta_dir) else []
+    gen = (max(gens) + 1) if gens else 1
+
+    # 1. delta points (same fused extract+featureize+sort kernel as the
+    #    points_sorted stage), persisted — three derivations read it,
+    #    and delta batches are micro-batch sized by design
+    delta_points = hilbert_sort(
+        _featureize(pages_to_points(delta_pages), config.tags_from_url),
+        num_partitions=config.sort_partitions,
+    ).persist()
+    n_delta = delta_points.count()
+
+    # 2. invalidation set: tile-bounded, reused as broadcast both sides
+    dirty = dirty_tiles_for_points(delta_points, config.leaf_zoom).persist()
+    n_dirty = dirty.count()
+
+    # 3. tree: merge leaf level associatively, rebuild interior rollup
+    #    from the merged (tile-bounded) leaf set
+    tree_path = _stage_path(planet_dir, "tile_tree")
+    old_tree = spark.read.parquet(tree_path)
+    merged_leaves = merge_leaf_levels(
+        old_tree.where(F.col("zoom") == config.leaf_zoom),
+        build_leaves(delta_points, config.leaf_zoom),
+    )
+    _swap_write(build_tile_tree(merged_leaves, config.leaf_zoom), tree_path)
+    _refresh_lineage(planet_dir, "tile_tree", gen)
+
+    # 4. content: append the delta's rule-pyramid rows (purely
+    #    per-feature -> append-composable)
+    from ..functions.geo import grid_x, grid_y
+
+    content_path = _stage_path(planet_dir, "content")
+    delta_content = render_content(
+        delta_points.withColumn("gx", grid_x(F.col("lon_dm7"))).withColumn(
+            "gy", grid_y(F.col("lat_dm7"))
+        ),
+        config.manifest,
+        compiled,
+        carry_cols=["tags", "gx", "gy"],
+    )
+    delta_content.write.mode("append").partitionBy("zoom").parquet(content_path)
+    _refresh_lineage(planet_dir, "content", gen)
+
+    # 5. recompose ONLY the dirty tiles: re-cluster their (old + delta)
+    #    content through the same write_content layout the full build
+    #    uses, then the normal phase-1/phase-2 compose
+    dirty_all = _dirty_content(spark, content_path, dirty)
+    tmp_cluster = os.path.join(planet_dir, f"_compact_content_gen{gen}")
+    write_content(dirty_all, tmp_cluster)
+    try:
+        rf = _points_rf(spark, spark.read.parquet(tmp_cluster), compiled, config)
+        recomposed = compose_points_presorted(rf, _layer_order(config))
+        (
+            recomposed.write.mode("overwrite")
+            .partitionBy("zoom")
+            .parquet(os.path.join(delta_dir, f"gen={gen}"))
+        )
+
+        # 6. manifest splice + zoom metrics recompute (both tile-bounded)
+        man_path = _stage_path(planet_dir, "tile_manifest")
+        old_man = spark.read.parquet(man_path)
+        new_counts = tile_manifest(
+            spark.read.parquet(tmp_cluster).select("zoom", "tile_h", "feature_id")
+        )
+        spliced = old_man.join(
+            F.broadcast(dirty), ["zoom", "tile_h"], "left_anti"
+        ).unionByName(new_counts)
+        _swap_write(spliced, man_path)
+        _refresh_lineage(planet_dir, "tile_manifest", gen)
+        metrics_path = _stage_path(planet_dir, "zoom_metrics")
+        _swap_write(
+            zoom_metrics_from_manifest(spark.read.parquet(man_path)), metrics_path
+        )
+        _refresh_lineage(planet_dir, "zoom_metrics", gen)
+    finally:
+        shutil.rmtree(tmp_cluster, ignore_errors=True)
+
+    # 7. append delta points last (nothing below re-reads points)
+    delta_points.write.mode("append").parquet(
+        _stage_path(planet_dir, "points_sorted")
+    )
+    _refresh_lineage(planet_dir, "points_sorted", gen)
+    delta_points.unpersist()
+    dirty.unpersist()
+
+    summary = {
+        "gen": gen,
+        "delta_rows": n_delta,
+        "dirty_tiles": n_dirty,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    log_path = os.path.join(planet_dir, "_compaction.json")
+    log = []
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            log = json.load(f)
+    log.append(summary)
+    with open(log_path, "w") as f:
+        json.dump(log, f, indent=1, sort_keys=True)
+    return summary
+
+
+def read_tiles(spark: SparkSession, planet_dir: str) -> DataFrame:
+    """Serving view over base tiles + compaction generations:
+    latest-generation-wins per (zoom, tile_h).
+
+    Tile-lookup predicates (serve.py's pushed h-range filters) apply
+    to every generation's scan BEFORE the per-tile window runs, so a
+    single-tile fetch reads a handful of rows regardless of how many
+    generations exist. ``materialize_tiles`` folds generations back
+    into the base when the delta count warrants it.
+    """
+    base = spark.read.parquet(_stage_path(planet_dir, "tiles")).withColumn(
+        "_gen", F.lit(0)
+    )
+    delta_dir = os.path.join(planet_dir, "tiles_delta")
+    out = base
+    if os.path.isdir(delta_dir):
+        for d in sorted(os.listdir(delta_dir)):
+            if not d.startswith("gen="):
+                continue
+            g = int(d.split("=", 1)[1])
+            out = out.unionByName(
+                spark.read.parquet(os.path.join(delta_dir, d)).withColumn(
+                    "_gen", F.lit(g)
+                )
+            )
+    w = Window.partitionBy("zoom", "tile_h").orderBy(F.col("_gen").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_gen", "_rn")
+    )
+
+
+def materialize_tiles(spark: SparkSession, planet_dir: str) -> int:
+    """Fold all compaction generations into the base tiles dir (the
+    LSM 'major compaction'); returns the number of folded generations."""
+    delta_dir = os.path.join(planet_dir, "tiles_delta")
+    if not os.path.isdir(delta_dir):
+        return 0
+    gens = [d for d in os.listdir(delta_dir) if d.startswith("gen=")]
+    if not gens:
+        return 0
+    resolved = read_tiles(spark, planet_dir)
+    _swap_write(resolved, _stage_path(planet_dir, "tiles"), partition_by="zoom")
+    shutil.rmtree(delta_dir)
+    return len(gens)

@@ -1,0 +1,98 @@
+"""Incremental compaction == full rebuild, byte-for-byte.
+
+Base build over P0, then two delta compactions (P1, P2) must produce
+md5-identical tile payloads, an identical tree, and an identical
+manifest to ONE full build over P0+P1+P2 — and folding the delta
+generations back into the base (materialize) must change nothing.
+"""
+
+from pyspark.sql import functions as F
+
+from pvt_spark.plans.compaction import (
+    compact_planet,
+    materialize_tiles,
+    read_tiles,
+)
+from pvt_spark.plans.pipeline import BuildConfig, build_planet
+from pvt_spark.sources.pages import synthesize_pages
+
+
+def _tile_map(df):
+    return {
+        (r.zoom, r.tile_h): (r.m, r.feature_count, r.layer_count)
+        for r in df.select(
+            "zoom",
+            "tile_h",
+            F.md5(F.col("payload")).alias("m"),
+            "feature_count",
+            "layer_count",
+        ).collect()
+    }
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+def test_compaction_equals_full_rebuild(spark, tmp_path):
+    cfg = BuildConfig()
+    p0 = synthesize_pages(spark, 150, seed=1, partitions=2)
+    d1 = synthesize_pages(spark, 60, seed=2, partitions=1)
+    d2 = synthesize_pages(spark, 40, seed=3, partitions=1)
+    inc_dir = str(tmp_path / "inc")
+    full_dir = str(tmp_path / "full")
+
+    build_planet(spark, p0, inc_dir, cfg)
+    s1 = compact_planet(spark, inc_dir, d1, cfg)
+    s2 = compact_planet(spark, inc_dir, d2, cfg)
+    assert s1["gen"] == 1 and s2["gen"] == 2
+    assert s1["dirty_tiles"] > 0 and s1["delta_rows"] > 0
+
+    build_planet(
+        spark, p0.unionByName(d1).unionByName(d2), full_dir, cfg
+    )
+
+    full_tiles = _tile_map(spark.read.parquet(full_dir + "/tiles"))
+    inc_tiles = _tile_map(read_tiles(spark, inc_dir))
+    assert inc_tiles == full_tiles and full_tiles
+
+    # compaction only rebuilt the dirty subset, not the world
+    n_recomposed = sum(
+        1
+        for _ in spark.read.parquet(inc_dir + "/tiles_delta/gen=1").collect()
+    )
+    assert 0 < n_recomposed < len(full_tiles)
+
+    assert _rows(spark.read.parquet(inc_dir + "/tile_tree")) == _rows(
+        spark.read.parquet(full_dir + "/tile_tree")
+    )
+    assert _rows(spark.read.parquet(inc_dir + "/tile_manifest")) == _rows(
+        spark.read.parquet(full_dir + "/tile_manifest")
+    )
+    assert _rows(spark.read.parquet(inc_dir + "/zoom_metrics")) == _rows(
+        spark.read.parquet(full_dir + "/zoom_metrics")
+    )
+    # appended points match the full build's point set exactly
+    keys = ["feature_id", "h"]
+    assert _rows(spark.read.parquet(inc_dir + "/points_sorted").select(*keys)) == _rows(
+        spark.read.parquet(full_dir + "/points_sorted").select(*keys)
+    )
+
+    # major compaction folds generations, payloads unchanged
+    assert materialize_tiles(spark, inc_dir) == 2
+    assert _tile_map(spark.read.parquet(inc_dir + "/tiles")) == full_tiles
+    assert materialize_tiles(spark, inc_dir) == 0
+
+
+def test_compaction_rejects_config_mismatch(spark, tmp_path):
+    import pytest
+
+    cfg = BuildConfig()
+    p0 = synthesize_pages(spark, 50, seed=4, partitions=1)
+    d = synthesize_pages(spark, 10, seed=5, partitions=1)
+    planet = str(tmp_path / "p")
+    build_planet(spark, p0, planet, cfg)
+    other = BuildConfig(leaf_zoom=10)
+    with pytest.raises(ValueError, match="fingerprint"):
+        compact_planet(spark, planet, d, other)
