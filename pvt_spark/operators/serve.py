@@ -41,11 +41,26 @@ def features_in_tile(
 
 
 def open_planet(spark: SparkSession, planet_dir: str) -> dict[str, DataFrame]:
-    """Open a built planet's stage tables (the loadPlanet analog)."""
+    """Open a built planet's stage tables (the loadPlanet analog).
+
+    ``tiles`` resolves through the compaction generation view when
+    un-materialized ``tiles_delta`` generations exist (plans/compaction)
+    so a compacted planet never serves stale payloads; with no
+    generations it is the plain base scan — same plan as before.
+    """
+    import os
+
     out = {}
     for name in ["points_sorted", "leaves", "tile_tree", "content", "tiles"]:
         try:
-            out[name] = spark.read.parquet(f"{planet_dir}/{name}")
+            if name == "tiles" and os.path.isdir(
+                os.path.join(planet_dir, "tiles_delta")
+            ):
+                from ..plans.compaction import read_tiles
+
+                out[name] = read_tiles(spark, planet_dir)
+            else:
+                out[name] = spark.read.parquet(f"{planet_dir}/{name}")
         except Exception:
             pass
     return out

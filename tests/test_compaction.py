@@ -79,6 +79,11 @@ def test_compaction_equals_full_rebuild(spark, tmp_path):
         spark.read.parquet(full_dir + "/points_sorted").select(*keys)
     )
 
+    # serve path resolves through the generation view pre-materialize
+    from pvt_spark.operators.serve import open_planet
+
+    assert _tile_map(open_planet(spark, inc_dir)["tiles"]) == full_tiles
+
     # major compaction folds generations, payloads unchanged
     assert materialize_tiles(spark, inc_dir) == 2
     assert _tile_map(spark.read.parquet(inc_dir + "/tiles")) == full_tiles
