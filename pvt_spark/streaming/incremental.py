@@ -227,6 +227,77 @@ def dirty_tiles_since(
     )
 
 
+def run_incremental_build(
+    spark: SparkSession,
+    pages_dir: str,
+    planet_dir: str,
+    checkpoint_dir: str,
+    config=None,
+    await_termination: bool = True,
+):
+    """Continuously-maintained tile pyramid: each page micro-batch folds
+    into the planet via ``plans.compaction.compact_planet`` (dirty-tile
+    recompose only). The first batch against an empty planet dir
+    bootstraps with a full ``build_planet``.
+
+    Exactly-once: ``foreachBatch`` can replay a batch after a crash;
+    compaction appends are not naturally idempotent, so the applied
+    batch high-water mark rides ``_compaction.json`` and replayed
+    batch ids are skipped.
+    """
+    import json
+    import os
+
+    from ..plans.compaction import compact_planet
+    from ..plans.pipeline import BuildConfig, build_planet
+
+    config = config or BuildConfig()
+    log_path = os.path.join(planet_dir, "_compaction.json")
+
+    def applied_batches() -> set:
+        if not os.path.exists(log_path):
+            return set()
+        with open(log_path) as f:
+            return {r["stream_batch_id"] for r in json.load(f) if "stream_batch_id" in r}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        bootstrapped = os.path.exists(
+            os.path.join(planet_dir, "points_sorted", "_lineage.json")
+        )
+        if not bootstrapped:
+            build_planet(spark, batch_df, planet_dir, config)
+            stamp = {"stream_batch_id": batch_id, "bootstrap": True}
+        else:
+            if batch_id in applied_batches():
+                return  # crash-replay of an already-folded batch
+            summary = compact_planet(spark, planet_dir, batch_df, config)
+            stamp = dict(summary, stream_batch_id=batch_id)
+        log = []
+        if os.path.exists(log_path):
+            with open(log_path) as f:
+                log = json.load(f)
+        # compact_planet already appended its own record; stamp the
+        # stream batch id onto the latest record (or append the
+        # bootstrap marker)
+        if log and not stamp.get("bootstrap") and "stream_batch_id" not in log[-1]:
+            log[-1]["stream_batch_id"] = batch_id
+        else:
+            log.append(stamp)
+        with open(log_path, "w") as f:
+            json.dump(log, f, indent=1, sort_keys=True)
+
+    q = (
+        read_pages_stream(spark, pages_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def run_ingest(
     spark: SparkSession,
     pages_dir: str,

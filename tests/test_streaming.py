@@ -194,3 +194,54 @@ def test_streaming_dirty_tile_log(spark, tmp_path):
         for r in dirty_tiles_since(spark, log_dir, after_batch_id=hw1).collect()
     }
     assert got2 == oracle(d2) and got2
+
+
+def test_run_incremental_build(spark, tmp_path):
+    """Streamed micro-batches maintain the planet: bootstrap on the
+    first batch, dirty-tile compaction on later ones — end state
+    byte-identical to a full rebuild over all pages."""
+    from pyspark.sql import functions as F
+
+    from pvt_spark.plans.compaction import read_tiles
+    from pvt_spark.plans.pipeline import BuildConfig, build_planet
+    from pvt_spark.streaming.incremental import run_incremental_build
+
+    pages_dir = str(tmp_path / "pages")
+    planet = str(tmp_path / "planet")
+    full = str(tmp_path / "full")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = BuildConfig()
+
+    d1 = synthesize_pages(spark, 120, seed=31, partitions=1)
+    d1.write.mode("append").parquet(pages_dir)
+    run_incremental_build(spark, pages_dir, planet, ckpt, cfg)
+    import json
+    import os
+
+    log = json.load(open(os.path.join(planet, "_compaction.json")))
+    assert log[0].get("bootstrap") and len(log) == 1
+
+    d2 = synthesize_pages(spark, 50, seed=32, partitions=1)
+    d2.write.mode("append").parquet(pages_dir)
+    run_incremental_build(spark, pages_dir, planet, ckpt, cfg)
+    log = json.load(open(os.path.join(planet, "_compaction.json")))
+    assert len(log) == 2 and log[1]["dirty_tiles"] > 0
+    assert "stream_batch_id" in log[1]
+
+    # third run, no new files: nothing folds
+    run_incremental_build(spark, pages_dir, planet, ckpt, cfg)
+    assert len(json.load(open(os.path.join(planet, "_compaction.json")))) == 2
+
+    build_planet(spark, d1.unionByName(d2), full, cfg)
+
+    def tiles_md5(df):
+        return {
+            (r.zoom, r.tile_h): r.m
+            for r in df.select(
+                "zoom", "tile_h", F.md5(F.col("payload")).alias("m")
+            ).collect()
+        }
+
+    assert tiles_md5(read_tiles(spark, planet)) == tiles_md5(
+        spark.read.parquet(full + "/tiles")
+    )
