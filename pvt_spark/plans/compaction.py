@@ -190,6 +190,14 @@ def compact_planet(
         raise ValueError(
             "compaction config fingerprint does not match the base build"
         )
+    if os.path.isdir(_stage_path(planet_dir, "way_features")):
+        # a mixed planet's tiles merge way/relation geometry chunks; the
+        # dirty recompose below rebuilds from point content only and
+        # would silently drop those features from recomposed tiles
+        raise ValueError(
+            "incremental compaction supports points-only planets; "
+            "rebuild mixed (way/relation) planets with build_planet"
+        )
     compiled = compile_rules(config.manifest)
     t0 = time.time()
 

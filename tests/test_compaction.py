@@ -101,3 +101,16 @@ def test_compaction_rejects_config_mismatch(spark, tmp_path):
     other = BuildConfig(leaf_zoom=10)
     with pytest.raises(ValueError, match="fingerprint"):
         compact_planet(spark, planet, d, other)
+
+
+def test_compaction_rejects_mixed_planet(spark, tmp_path):
+    import pytest
+
+    cfg = BuildConfig(synth_ways=20)
+    p0 = synthesize_pages(spark, 80, seed=6, partitions=1)
+    planet = str(tmp_path / "mixed")
+    build_planet(spark, p0, planet, cfg)
+    with pytest.raises(ValueError, match="points-only"):
+        compact_planet(
+            spark, planet, synthesize_pages(spark, 10, seed=7, partitions=1), cfg
+        )
