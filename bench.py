@@ -194,6 +194,40 @@ def main() -> None:
         # round-over-round deltas in this ratio factor out host lottery
         timings["tile_build_norm"] = round(build["wall_sec"] / runs[0][1], 2)
 
+        # incremental compaction: fold a 0.5% page delta into the planet the
+        # headline build just produced and compare against the full-rebuild
+        # cost it replaces (plans/compaction; equivalence is test-certified,
+        # this measures the cost shape: dirty-tile work, not planet work)
+        from pvt_spark.plans.compaction import compact_planet
+        from pvt_spark.plans.pipeline import BuildConfig
+        from pvt_spark.session import get_spark as _gs
+        from pvt_spark.sources.pages import synthesize_pages as _synth
+
+        m = f"local[{max(1, cpus // 2)}]"
+        spark_c = _gs(master=m, app_name="pvt-bench-compact")
+        spark_c.sparkContext.setLogLevel("ERROR")
+        planet = os.path.join(
+            tmp_root, f"planet_{m.replace('[', '_').replace(']', '')}"
+        )
+        # 0.5% delta = the micro-batch shape compaction exists for. The
+        # synthetic pages are UNIFORMLY spread, the worst case for an
+        # invalidation set (every delta point dirties its own leaf), so
+        # compact_dirty_frac is reported alongside: the wall ratio tracks
+        # the dirty fraction plus ~8 fixed job costs, not the planet size
+        delta = _synth(spark_c, max(500, n_pages // 200), seed=777)
+        timings["calib_compact"] = _calib_hilbert_once()
+        t0 = time.time()
+        s = compact_planet(spark_c, planet, delta, BuildConfig(leaf_zoom=12))
+        timings["compact_halfpct_delta"] = round(time.time() - t0, 3)
+        timings["compact_dirty_tiles"] = s["dirty_tiles"]
+        timings["compact_dirty_frac"] = round(
+            s["dirty_tiles"] / max(1, build["n_tiles"]), 4
+        )
+        timings["compact_vs_rebuild"] = round(
+            timings["compact_halfpct_delta"] / timings["tile_build"], 3
+        )
+        spark_c.stop()
+
         # representative oracle queries at sf_dir
         from pvt_spark.queries import REGISTRY
         from pvt_spark.session import get_spark

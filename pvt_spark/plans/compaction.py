@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..manifest import compile_rules
-from ..operators.compose import compose_points_presorted
+from ..operators.compose import (
+    compose_points_presorted,
+    geometry_chunks,
+    merge_chunks,
+    points_chunks,
+)
 from ..operators.content import (
     render_content,
     tile_manifest,
@@ -58,7 +63,7 @@ from ..operators.hilbert_sort import hilbert_sort
 from ..operators.leaves import build_leaves
 from ..operators.tree import build_tile_tree
 from ..streaming.incremental import dirty_tiles_for_points
-from .pipeline import BuildConfig, _featureize, _layer_order, _points_rf
+from .pipeline import BuildConfig, _featureize, _layer_order, _mp_rf, _points_rf
 
 
 def _stage_path(planet_dir: str, name: str) -> str:
@@ -175,11 +180,17 @@ def compact_planet(
     delta_pages: DataFrame,
     config: BuildConfig | None = None,
 ) -> dict:
-    """Fold a delta page batch into an existing points-only planet build.
+    """Fold a delta page batch into an existing planet build.
 
     Returns a summary dict (generation, dirty tile count, delta rows).
     ``config`` must fingerprint-match the base build — compacting under
     different rules would splice tiles rendered under two manifests.
+    Mixed planets are supported for PAGE deltas (points only); deltas
+    that add ways/relations require a rebuild. Mixed compaction also
+    assumes delta pages carry NEW urls: way refs resolve by node id
+    (the OSM node-id-uniqueness analog), so a re-crawl delta that
+    reuses an existing url would give a full rebuild a second node per
+    ref while the incremental path keeps the base resolution.
     """
     config = config or BuildConfig()
     fp = config.fingerprint()
@@ -190,14 +201,13 @@ def compact_planet(
         raise ValueError(
             "compaction config fingerprint does not match the base build"
         )
-    if os.path.isdir(_stage_path(planet_dir, "way_features")):
-        # a mixed planet's tiles merge way/relation geometry chunks; the
-        # dirty recompose below rebuilds from point content only and
-        # would silently drop those features from recomposed tiles
-        raise ValueError(
-            "incremental compaction supports points-only planets; "
-            "rebuild mixed (way/relation) planets with build_planet"
-        )
+    # Mixed planets: a PAGE delta adds points only — it cannot change
+    # way/relation geometry (ways reference the base build's node ids,
+    # relation h is a fixed point over those members), so the persisted
+    # content_mp stage stays valid and the dirty recompose re-merges its
+    # dirty-tile slice with the refreshed point chunks. Deltas that add
+    # ways/relations themselves still require a rebuild.
+    mixed = os.path.isdir(_stage_path(planet_dir, "content_mp"))
     compiled = compile_rules(config.manifest)
     t0 = time.time()
 
@@ -255,9 +265,41 @@ def compact_planet(
     dirty_all = _dirty_content(spark, content_path, dirty)
     tmp_cluster = os.path.join(planet_dir, f"_compact_content_gen{gen}")
     write_content(dirty_all, tmp_cluster)
+    mp_dirty = None
     try:
         rf = _points_rf(spark, spark.read.parquet(tmp_cluster), compiled, config)
-        recomposed = compose_points_presorted(rf, _layer_order(config))
+        if not mixed:
+            recomposed = compose_points_presorted(rf, _layer_order(config))
+        else:
+            # same merge shape as build_planet's mixed compose, restricted
+            # to the dirty keys: the mp tile subset demotes from finals to
+            # chunks and merges with its (unchanged) geometry chunks
+            mp_dirty = spark.read.parquet(
+                _stage_path(planet_dir, "content_mp")
+            ).join(F.broadcast(dirty), ["zoom", "tile_h"], "left_semi").persist()
+            gchunks = geometry_chunks(
+                _mp_rf(spark, mp_dirty, compiled, config),
+                salt_threshold=config.salt_threshold,
+                projected=True,
+            )
+            mp_keys = mp_dirty.select("zoom", "tile_h").distinct()
+            if mp_keys.count() <= 200_000:
+                keys = frozenset(
+                    (int(r.zoom) << 50) | int(r.tile_h) for r in mp_keys.collect()
+                )
+                recomposed = compose_points_presorted(
+                    rf,
+                    _layer_order(config),
+                    merge_partitions=int(
+                        spark.conf.get("spark.sql.shuffle.partitions", "32")
+                    ),
+                    exclude_keys=keys,
+                    extra_chunks=gchunks,
+                )
+            else:
+                recomposed = merge_chunks(
+                    points_chunks(rf).unionByName(gchunks), _layer_order(config)
+                )
         (
             recomposed.write.mode("overwrite")
             .partitionBy("zoom")
@@ -267,9 +309,14 @@ def compact_planet(
         # 6. manifest splice + zoom metrics recompute (both tile-bounded)
         man_path = _stage_path(planet_dir, "tile_manifest")
         old_man = spark.read.parquet(man_path)
-        new_counts = tile_manifest(
-            spark.read.parquet(tmp_cluster).select("zoom", "tile_h", "feature_id")
+        man_input = spark.read.parquet(tmp_cluster).select(
+            "zoom", "tile_h", "feature_id"
         )
+        if mp_dirty is not None:
+            man_input = man_input.unionByName(
+                mp_dirty.select("zoom", "tile_h", "feature_id")
+            )
+        new_counts = tile_manifest(man_input)
         spliced = old_man.join(
             F.broadcast(dirty), ["zoom", "tile_h"], "left_anti"
         ).unionByName(new_counts)
@@ -281,6 +328,8 @@ def compact_planet(
         )
         _refresh_lineage(planet_dir, "zoom_metrics", gen)
     finally:
+        if mp_dirty is not None:
+            mp_dirty.unpersist()
         shutil.rmtree(tmp_cluster, ignore_errors=True)
 
     # 7. append delta points last (nothing below re-reads points)

@@ -143,13 +143,24 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
 
 
 def synthesize_pages(
-    spark: SparkSession, n_pages: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_pages: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """Distributed deterministic pages table. Safe at any scale: generation
-    is per-row hash-driven, so it parallelizes with no coordination."""
+    is per-row hash-driven, so it parallelizes with no coordination.
+
+    ``start`` offsets the page-id (and therefore url) range: urls are
+    id-derived, so two tables only have disjoint urls if their id
+    ranges are disjoint. Use it to synthesize genuinely NEW crawl
+    batches (fresh urls) as opposed to re-crawls (same urls, new
+    content) — compaction of mixed planets requires the former because
+    way refs resolve by node id (OSM node-id uniqueness analog)."""
     default_par = spark.sparkContext.defaultParallelism
     partitions = partitions or max(default_par * 2, n_pages // 50_000)
-    base = spark.range(0, n_pages, 1, partitions)
+    base = spark.range(start, start + n_pages, 1, partitions)
 
     def gen(batches):
         for pdf in batches:

@@ -103,14 +103,43 @@ def test_compaction_rejects_config_mismatch(spark, tmp_path):
         compact_planet(spark, planet, d, other)
 
 
-def test_compaction_rejects_mixed_planet(spark, tmp_path):
-    import pytest
+def test_compaction_mixed_planet_point_delta(spark, tmp_path):
+    """A page (point) delta folds into a MIXED planet: the dirty
+    recompose re-merges the unchanged way geometry chunks with the
+    refreshed point chunks — byte-identical to a full mixed rebuild
+    over the union (same explicit ways table on both sides; synthesized
+    ways would differ because they derive from the point set)."""
+    from pvt_spark.operators.geotag import pages_to_points
+    from pvt_spark.operators.hilbert_sort import hilbert_sort
+    from pvt_spark.plans.compaction import read_tiles
+    from pvt_spark.plans.pipeline import _featureize
+    from pvt_spark.sources.ways import synthesize_ways
 
-    cfg = BuildConfig(synth_ways=20)
-    p0 = synthesize_pages(spark, 80, seed=6, partitions=1)
-    planet = str(tmp_path / "mixed")
-    build_planet(spark, p0, planet, cfg)
-    with pytest.raises(ValueError, match="points-only"):
-        compact_planet(
-            spark, planet, synthesize_pages(spark, 10, seed=7, partitions=1), cfg
-        )
+    cfg = BuildConfig()
+    p0 = synthesize_pages(spark, 120, seed=6, partitions=1)
+    # a NEW crawl batch (disjoint url/id range): way refs resolve by
+    # node id, so a re-crawl delta (same urls, new content) would give
+    # the full rebuild duplicate nodes per ref while the incremental
+    # path keeps the base resolution — disjointness is the documented
+    # mixed-compaction contract
+    d1 = synthesize_pages(spark, 50, seed=7, partitions=1, start=120)
+    pts0 = hilbert_sort(_featureize(pages_to_points(p0), cfg.tags_from_url))
+    ways = synthesize_ways(pts0, 25).persist()
+    ways.count()
+
+    inc_dir = str(tmp_path / "minc")
+    full_dir = str(tmp_path / "mfull")
+    build_planet(spark, p0, inc_dir, cfg, ways=ways)
+    s = compact_planet(spark, inc_dir, d1, cfg)
+    assert s["dirty_tiles"] > 0
+    build_planet(spark, p0.unionByName(d1), full_dir, cfg, ways=ways)
+
+    full_tiles = _tile_map(spark.read.parquet(full_dir + "/tiles"))
+    assert _tile_map(read_tiles(spark, inc_dir)) == full_tiles and full_tiles
+    assert _rows(spark.read.parquet(inc_dir + "/tile_tree")) == _rows(
+        spark.read.parquet(full_dir + "/tile_tree")
+    )
+    assert _rows(spark.read.parquet(inc_dir + "/tile_manifest")) == _rows(
+        spark.read.parquet(full_dir + "/tile_manifest")
+    )
+    ways.unpersist()
