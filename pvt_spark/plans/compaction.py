@@ -174,97 +174,28 @@ def _dirty_content(
     return content.join(F.broadcast(dirty), ["zoom", "tile_h"], "left_semi")
 
 
-def compact_planet(
+def _recompose_dirty_tiles(
     spark: SparkSession,
     planet_dir: str,
-    delta_pages: DataFrame,
-    config: BuildConfig | None = None,
-) -> dict:
-    """Fold a delta page batch into an existing planet build.
-
-    Returns a summary dict (generation, dirty tile count, delta rows).
-    ``config`` must fingerprint-match the base build — compacting under
-    different rules would splice tiles rendered under two manifests.
-    Mixed planets are supported for PAGE deltas (points only); deltas
-    that add ways/relations require a rebuild. Mixed compaction also
-    assumes delta pages carry NEW urls: way refs resolve by node id
-    (the OSM node-id-uniqueness analog), so a re-crawl delta that
-    reuses an existing url would give a full rebuild a second node per
-    ref while the incremental path keeps the base resolution.
-    """
-    config = config or BuildConfig()
-    fp = config.fingerprint()
-    lpath = os.path.join(_stage_path(planet_dir, "points_sorted"), "_lineage.json")
-    with open(lpath) as f:
-        base_fp = json.load(f).get("fingerprint")
-    if base_fp != fp:
-        raise ValueError(
-            "compaction config fingerprint does not match the base build"
-        )
-    # Mixed planets: a PAGE delta adds points only — it cannot change
-    # way/relation geometry (ways reference the base build's node ids,
-    # relation h is a fixed point over those members), so the persisted
-    # content_mp stage stays valid and the dirty recompose re-merges its
-    # dirty-tile slice with the refreshed point chunks. Deltas that add
-    # ways/relations themselves still require a rebuild.
+    dirty: DataFrame,
+    config: BuildConfig,
+    compiled,
+    gen: int,
+    mark=lambda name: None,
+) -> None:
+    """Re-cluster the dirty keys' (old + delta) content through the same
+    write_content layout the full build uses, run the normal phase-1/
+    phase-2 compose (mixed planets re-merge the dirty slice of the
+    unchanged content_mp stage as geometry chunks), write the result as
+    generation ``gen``, and splice the manifest/metrics for exactly the
+    keys passed."""
     mixed = os.path.isdir(_stage_path(planet_dir, "content_mp"))
-    compiled = compile_rules(config.manifest)
-    t0 = time.time()
-
-    delta_dir = os.path.join(planet_dir, "tiles_delta")
-    gens = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(delta_dir)
-        if d.startswith("gen=")
-    ] if os.path.isdir(delta_dir) else []
-    gen = (max(gens) + 1) if gens else 1
-
-    # 1. delta points (same fused extract+featureize+sort kernel as the
-    #    points_sorted stage), persisted — three derivations read it,
-    #    and delta batches are micro-batch sized by design
-    delta_points = hilbert_sort(
-        _featureize(pages_to_points(delta_pages), config.tags_from_url),
-        num_partitions=config.sort_partitions,
-    ).persist()
-    n_delta = delta_points.count()
-
-    # 2. invalidation set: tile-bounded, reused as broadcast both sides
-    dirty = dirty_tiles_for_points(delta_points, config.leaf_zoom).persist()
-    n_dirty = dirty.count()
-
-    # 3. tree: merge leaf level associatively, rebuild interior rollup
-    #    from the merged (tile-bounded) leaf set
-    tree_path = _stage_path(planet_dir, "tile_tree")
-    old_tree = spark.read.parquet(tree_path)
-    merged_leaves = merge_leaf_levels(
-        old_tree.where(F.col("zoom") == config.leaf_zoom),
-        build_leaves(delta_points, config.leaf_zoom),
-    )
-    _swap_write(build_tile_tree(merged_leaves, config.leaf_zoom), tree_path)
-    _refresh_lineage(planet_dir, "tile_tree", gen)
-
-    # 4. content: append the delta's rule-pyramid rows (purely
-    #    per-feature -> append-composable)
-    from ..functions.geo import grid_x, grid_y
-
     content_path = _stage_path(planet_dir, "content")
-    delta_content = render_content(
-        delta_points.withColumn("gx", grid_x(F.col("lon_dm7"))).withColumn(
-            "gy", grid_y(F.col("lat_dm7"))
-        ),
-        config.manifest,
-        compiled,
-        carry_cols=["tags", "gx", "gy"],
-    )
-    delta_content.write.mode("append").partitionBy("zoom").parquet(content_path)
-    _refresh_lineage(planet_dir, "content", gen)
-
-    # 5. recompose ONLY the dirty tiles: re-cluster their (old + delta)
-    #    content through the same write_content layout the full build
-    #    uses, then the normal phase-1/phase-2 compose
+    delta_dir = os.path.join(planet_dir, "tiles_delta")
     dirty_all = _dirty_content(spark, content_path, dirty)
     tmp_cluster = os.path.join(planet_dir, f"_compact_content_gen{gen}")
     write_content(dirty_all, tmp_cluster)
+    mark("dirty_cluster")
     mp_dirty = None
     try:
         rf = _points_rf(spark, spark.read.parquet(tmp_cluster), compiled, config)
@@ -305,8 +236,9 @@ def compact_planet(
             .partitionBy("zoom")
             .parquet(os.path.join(delta_dir, f"gen={gen}"))
         )
+        mark("recompose")
 
-        # 6. manifest splice + zoom metrics recompute (both tile-bounded)
+        # manifest splice + zoom metrics recompute (both tile-bounded)
         man_path = _stage_path(planet_dir, "tile_manifest")
         old_man = spark.read.parquet(man_path)
         man_input = spark.read.parquet(tmp_cluster).select(
@@ -327,24 +259,158 @@ def compact_planet(
             zoom_metrics_from_manifest(spark.read.parquet(man_path)), metrics_path
         )
         _refresh_lineage(planet_dir, "zoom_metrics", gen)
+        mark("manifest_metrics")
     finally:
         if mp_dirty is not None:
             mp_dirty.unpersist()
         shutil.rmtree(tmp_cluster, ignore_errors=True)
+
+
+def compact_planet(
+    spark: SparkSession,
+    planet_dir: str,
+    delta_pages: DataFrame,
+    config: BuildConfig | None = None,
+    defer_zoom_below: int | None = None,
+) -> dict:
+    """Fold a delta page batch into an existing planet build.
+
+    Returns a summary dict (generation, dirty tile count, delta rows).
+    ``config`` must fingerprint-match the base build — compacting under
+    different rules would splice tiles rendered under two manifests.
+    Mixed planets are supported for PAGE deltas (points only); deltas
+    that add ways/relations require a rebuild. Mixed compaction also
+    assumes delta pages carry NEW urls: way refs resolve by node id
+    (the OSM node-id-uniqueness analog), so a re-crawl delta that
+    reuses an existing url would give a full rebuild a second node per
+    ref while the incremental path keeps the base resolution.
+    """
+    config = config or BuildConfig()
+    fp = config.fingerprint()
+    lpath = os.path.join(_stage_path(planet_dir, "points_sorted"), "_lineage.json")
+    with open(lpath) as f:
+        base_fp = json.load(f).get("fingerprint")
+    if base_fp != fp:
+        raise ValueError(
+            "compaction config fingerprint does not match the base build"
+        )
+    # Mixed planets: a PAGE delta adds points only — it cannot change
+    # way/relation geometry (ways reference the base build's node ids,
+    # relation h is a fixed point over those members), so the persisted
+    # content_mp stage stays valid and the dirty recompose re-merges its
+    # dirty-tile slice with the refreshed point chunks. Deltas that add
+    # ways/relations themselves still require a rebuild.
+    compiled = compile_rules(config.manifest)
+    t0 = time.time()
+    steps: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        steps[name] = round(now - _last[0], 3)
+        _last[0] = now
+
+    delta_dir = os.path.join(planet_dir, "tiles_delta")
+    gens = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(delta_dir)
+        if d.startswith("gen=")
+    ] if os.path.isdir(delta_dir) else []
+    gen = (max(gens) + 1) if gens else 1
+
+    # 1. delta points (same fused extract+featureize+sort kernel as the
+    #    points_sorted stage), persisted — three derivations read it,
+    #    and delta batches are micro-batch sized by design
+    delta_points = hilbert_sort(
+        _featureize(pages_to_points(delta_pages), config.tags_from_url),
+        num_partitions=config.sort_partitions,
+    ).persist()
+    n_delta = delta_points.count()
+    _mark("delta_points")
+
+    # 2. invalidation set: tile-bounded, reused as broadcast both sides
+    dirty = dirty_tiles_for_points(delta_points, config.leaf_zoom).persist()
+    n_dirty = dirty.count()
+    _mark("dirty_set")
+
+    # 2b. low-zoom deferral: a zoom-z tile count shrinks 16x per even
+    #     level, so low-zoom tiles are FEW but are dirtied by ~every
+    #     delta batch and hold a planet-proportional share of content
+    #     (every z-visible feature renders into one of a handful of
+    #     tiles). Recomposing them per micro-batch re-does that work
+    #     every time; deferring them amortizes it across K batches and
+    #     makes the per-batch cost delta-bounded. Deferred keys
+    #     accumulate under _deferred_dirty and fold on flush_deferred /
+    #     materialize_tiles; until then read_tiles serves the previous
+    #     (stale) low-zoom overview tiles — the standard tile-server
+    #     tradeoff.
+    deferred_n = 0
+    dirty_now = dirty
+    if defer_zoom_below is not None:
+        dirty_now = dirty.where(F.col("zoom") >= defer_zoom_below).persist()
+        ddir = os.path.join(planet_dir, "_deferred_dirty")
+        (
+            dirty.where(F.col("zoom") < defer_zoom_below)
+            .withColumn("gen", F.lit(gen))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(ddir)
+        )
+        deferred_n = n_dirty - dirty_now.count()
+        _mark("defer_split")
+
+    # 3. tree: merge leaf level associatively, rebuild interior rollup
+    #    from the merged (tile-bounded) leaf set
+    tree_path = _stage_path(planet_dir, "tile_tree")
+    old_tree = spark.read.parquet(tree_path)
+    merged_leaves = merge_leaf_levels(
+        old_tree.where(F.col("zoom") == config.leaf_zoom),
+        build_leaves(delta_points, config.leaf_zoom),
+    )
+    _swap_write(build_tile_tree(merged_leaves, config.leaf_zoom), tree_path)
+    _refresh_lineage(planet_dir, "tile_tree", gen)
+    _mark("tree_merge")
+
+    # 4. content: append the delta's rule-pyramid rows (purely
+    #    per-feature -> append-composable)
+    from ..functions.geo import grid_x, grid_y
+
+    content_path = _stage_path(planet_dir, "content")
+    delta_content = render_content(
+        delta_points.withColumn("gx", grid_x(F.col("lon_dm7"))).withColumn(
+            "gy", grid_y(F.col("lat_dm7"))
+        ),
+        config.manifest,
+        compiled,
+        carry_cols=["tags", "gx", "gy"],
+    )
+    delta_content.write.mode("append").partitionBy("zoom").parquet(content_path)
+    _refresh_lineage(planet_dir, "content", gen)
+    _mark("content_append")
+
+    # 5+6. recompose the (non-deferred) dirty tiles and splice metadata
+    _recompose_dirty_tiles(
+        spark, planet_dir, dirty_now, config, compiled, gen, mark=_mark
+    )
 
     # 7. append delta points last (nothing below re-reads points)
     delta_points.write.mode("append").parquet(
         _stage_path(planet_dir, "points_sorted")
     )
     _refresh_lineage(planet_dir, "points_sorted", gen)
+    _mark("points_append")
     delta_points.unpersist()
+    if dirty_now is not dirty:
+        dirty_now.unpersist()
     dirty.unpersist()
 
     summary = {
         "gen": gen,
         "delta_rows": n_delta,
         "dirty_tiles": n_dirty,
+        "deferred_tiles": deferred_n,
         "wall_sec": round(time.time() - t0, 3),
+        "steps": steps,
     }
     log_path = os.path.join(planet_dir, "_compaction.json")
     log = []
@@ -366,6 +432,9 @@ def read_tiles(spark: SparkSession, planet_dir: str) -> DataFrame:
     single-tile fetch reads a handful of rows regardless of how many
     generations exist. ``materialize_tiles`` folds generations back
     into the base when the delta count warrants it.
+
+    With ``defer_zoom_below`` compaction, low-zoom overview tiles serve
+    their pre-deferral payloads until ``flush_deferred`` runs.
     """
     base = spark.read.parquet(_stage_path(planet_dir, "tiles")).withColumn(
         "_gen", F.lit(0)
@@ -390,9 +459,70 @@ def read_tiles(spark: SparkSession, planet_dir: str) -> DataFrame:
     )
 
 
-def materialize_tiles(spark: SparkSession, planet_dir: str) -> int:
+def flush_deferred(
+    spark: SparkSession, planet_dir: str, config: BuildConfig | None = None
+) -> int:
+    """Fold the accumulated low-zoom deferred dirty set (from
+    ``compact_planet(..., defer_zoom_below=z)``) into a new tile
+    generation; returns the number of flushed tiles. One flush pays the
+    low-zoom recompose ONCE for every batch deferred since the last
+    flush."""
+    ddir = os.path.join(planet_dir, "_deferred_dirty")
+    if not os.path.isdir(ddir):
+        return 0
+    config = config or BuildConfig()
+    lpath = os.path.join(_stage_path(planet_dir, "points_sorted"), "_lineage.json")
+    with open(lpath) as f:
+        if json.load(f).get("fingerprint") != config.fingerprint():
+            raise ValueError(
+                "flush config fingerprint does not match the base build"
+            )
+    pending = (
+        spark.read.parquet(ddir).select("zoom", "tile_h").dropDuplicates(
+            ["zoom", "tile_h"]
+        ).persist()
+    )
+    n = pending.count()
+    if n == 0:
+        pending.unpersist()
+        shutil.rmtree(ddir)
+        return 0
+    delta_dir = os.path.join(planet_dir, "tiles_delta")
+    gens = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(delta_dir)
+        if d.startswith("gen=")
+    ] if os.path.isdir(delta_dir) else []
+    gen = (max(gens) + 1) if gens else 1
+    compiled = compile_rules(config.manifest)
+    t0 = time.time()
+    _recompose_dirty_tiles(spark, planet_dir, pending, config, compiled, gen)
+    pending.unpersist()
+    shutil.rmtree(ddir)
+    log_path = os.path.join(planet_dir, "_compaction.json")
+    log = []
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            log = json.load(f)
+    log.append(
+        {"gen": gen, "flush": True, "flushed_tiles": n,
+         "wall_sec": round(time.time() - t0, 3)}
+    )
+    with open(log_path, "w") as f:
+        json.dump(log, f, indent=1, sort_keys=True)
+    return n
+
+
+def materialize_tiles(
+    spark: SparkSession,
+    planet_dir: str,
+    config: BuildConfig | None = None,
+) -> int:
     """Fold all compaction generations into the base tiles dir (the
-    LSM 'major compaction'); returns the number of folded generations."""
+    LSM 'major compaction'); returns the number of folded generations.
+    Flushes any deferred low-zoom dirty set first so the materialized
+    base is exact."""
+    flush_deferred(spark, planet_dir, config)
     delta_dir = os.path.join(planet_dir, "tiles_delta")
     if not os.path.isdir(delta_dir):
         return 0

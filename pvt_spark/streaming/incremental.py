@@ -234,11 +234,17 @@ def run_incremental_build(
     checkpoint_dir: str,
     config=None,
     await_termination: bool = True,
+    defer_zoom_below: int | None = None,
+    flush_every: int | None = None,
 ):
     """Continuously-maintained tile pyramid: each page micro-batch folds
     into the planet via ``plans.compaction.compact_planet`` (dirty-tile
     recompose only). The first batch against an empty planet dir
     bootstraps with a full ``build_planet``.
+
+    ``defer_zoom_below`` passes through to compaction (low-zoom
+    overview tiles recompose only at flush); ``flush_every=K`` folds
+    the deferred set after every K compacted batches.
 
     Exactly-once: ``foreachBatch`` can replay a batch after a crash;
     compaction appends are not naturally idempotent, so the applied
@@ -248,7 +254,7 @@ def run_incremental_build(
     import json
     import os
 
-    from ..plans.compaction import compact_planet
+    from ..plans.compaction import compact_planet, flush_deferred
     from ..plans.pipeline import BuildConfig, build_planet
 
     config = config or BuildConfig()
@@ -270,8 +276,25 @@ def run_incremental_build(
         else:
             if batch_id in applied_batches():
                 return  # crash-replay of an already-folded batch
-            summary = compact_planet(spark, planet_dir, batch_df, config)
+            summary = compact_planet(
+                spark, planet_dir, batch_df, config,
+                defer_zoom_below=defer_zoom_below,
+            )
             stamp = dict(summary, stream_batch_id=batch_id)
+            if defer_zoom_below is not None and flush_every:
+                # compact_planet already appended this batch's record;
+                # count compaction records (not bootstrap, not flushes)
+                # since the last flush
+                with open(log_path) as f:
+                    log_now = json.load(f)
+                since_flush = 0
+                for r in log_now:
+                    if r.get("flush"):
+                        since_flush = 0
+                    elif not r.get("bootstrap"):
+                        since_flush += 1
+                if since_flush >= flush_every:
+                    flush_deferred(spark, planet_dir, config)
         log = []
         if os.path.exists(log_path):
             with open(log_path) as f:

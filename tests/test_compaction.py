@@ -143,3 +143,58 @@ def test_compaction_mixed_planet_point_delta(spark, tmp_path):
         spark.read.parquet(full_dir + "/tile_manifest")
     )
     ways.unpersist()
+
+
+def test_compaction_deferred_low_zoom_flush(spark, tmp_path):
+    """defer_zoom_below: per-batch recompose skips the always-dirty
+    low-zoom overview tiles (stale until flush); flush_deferred folds
+    the accumulated set and restores exact equality with a full
+    rebuild."""
+    from pvt_spark.plans.compaction import flush_deferred
+
+    cfg = BuildConfig()
+    p0 = synthesize_pages(spark, 150, seed=81, partitions=2)
+    d1 = synthesize_pages(spark, 50, seed=82, partitions=1, start=150)
+    d2 = synthesize_pages(spark, 40, seed=83, partitions=1, start=200)
+    inc_dir = str(tmp_path / "inc")
+    full_dir = str(tmp_path / "full")
+
+    build_planet(spark, p0, inc_dir, cfg)
+    base_tiles = _tile_map(spark.read.parquet(inc_dir + "/tiles"))
+    s1 = compact_planet(spark, inc_dir, d1, cfg, defer_zoom_below=8)
+    s2 = compact_planet(spark, inc_dir, d2, cfg, defer_zoom_below=8)
+    assert s1["deferred_tiles"] > 0 and s2["deferred_tiles"] > 0
+    # nothing below zoom 8 in the per-batch generations
+    for g in (1, 2):
+        zooms = {
+            r.zoom
+            for r in spark.read.parquet(
+                f"{inc_dir}/tiles_delta/gen={g}"
+            ).select("zoom").distinct().collect()
+        }
+        assert zooms and min(zooms) >= 8
+
+    build_planet(spark, p0.unionByName(d1).unionByName(d2), full_dir, cfg)
+    full_tiles = _tile_map(spark.read.parquet(full_dir + "/tiles"))
+
+    pre = _tile_map(read_tiles(spark, inc_dir))
+    hi_pre = {k: v for k, v in pre.items() if k[0] >= 8}
+    hi_full = {k: v for k, v in full_tiles.items() if k[0] >= 8}
+    assert hi_pre == hi_full
+    # low zooms are stale = the base build's payloads
+    lo_pre = {k: v for k, v in pre.items() if k[0] < 8}
+    assert lo_pre == {k: v for k, v in base_tiles.items() if k[0] < 8}
+
+    n = flush_deferred(spark, inc_dir, cfg)
+    # every low-zoom tile key is in the flushed set (the set also holds
+    # z0/z2 ancestor keys where the rules render no content, so no tile
+    # materializes — key count >= tile count)
+    assert n >= len({k for k in full_tiles if k[0] < 8})
+    assert _tile_map(read_tiles(spark, inc_dir)) == full_tiles
+
+    # flush is idempotent-empty afterwards; materialize folds everything
+    assert flush_deferred(spark, inc_dir, cfg) == 0
+    from pvt_spark.plans.compaction import materialize_tiles
+
+    assert materialize_tiles(spark, inc_dir, cfg) == 3
+    assert _tile_map(spark.read.parquet(inc_dir + "/tiles")) == full_tiles

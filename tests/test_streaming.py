@@ -245,3 +245,56 @@ def test_run_incremental_build(spark, tmp_path):
     assert tiles_md5(read_tiles(spark, planet)) == tiles_md5(
         spark.read.parquet(full + "/tiles")
     )
+
+
+def test_run_incremental_build_deferred_flush(spark, tmp_path):
+    """Streaming compaction with low-zoom deferral: flush_every folds
+    the deferred set automatically, restoring full-rebuild equality."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pvt_spark.plans.compaction import read_tiles
+    from pvt_spark.plans.pipeline import BuildConfig, build_planet
+    from pvt_spark.streaming.incremental import run_incremental_build
+
+    pages_dir = str(tmp_path / "pages")
+    planet = str(tmp_path / "planet")
+    full = str(tmp_path / "full")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = BuildConfig()
+
+    drops = [
+        synthesize_pages(spark, 100, seed=91, partitions=1),
+        synthesize_pages(spark, 40, seed=92, partitions=1, start=100),
+        synthesize_pages(spark, 40, seed=93, partitions=1, start=140),
+    ]
+    for d in drops:
+        d.write.mode("append").parquet(pages_dir)
+        run_incremental_build(
+            spark, pages_dir, planet, ckpt, cfg,
+            defer_zoom_below=8, flush_every=2,
+        )
+
+    log = json.load(open(os.path.join(planet, "_compaction.json")))
+    # bootstrap + compact(deferred) + compact(deferred) + auto-flush
+    assert [bool(r.get("flush")) for r in log] == [False, False, False, True]
+    assert log[1]["deferred_tiles"] > 0
+
+    all_pages = drops[0].unionByName(drops[1]).unionByName(drops[2])
+    build_planet(spark, all_pages, full, cfg)
+
+    def tiles_md5(df):
+        return {
+            (r.zoom, r.tile_h): r.m
+            for r in df.select(
+                "zoom", "tile_h", F.md5(F.col("payload")).alias("m")
+            ).collect()
+        }
+
+    got = tiles_md5(read_tiles(spark, planet))
+    want = tiles_md5(spark.read.parquet(full + "/tiles"))
+    # flush covered batches 1-2; batch 3's low zooms still deferred
+    hi = {k: v for k, v in want.items() if k[0] >= 8}
+    assert {k: v for k, v in got.items() if k[0] >= 8} == hi
