@@ -226,6 +226,21 @@ def main() -> None:
         timings["compact_vs_rebuild"] = round(
             timings["compact_halfpct_delta"] / timings["tile_build"], 3
         )
+        # deferred variant (second generation, fresh disjoint delta):
+        # low-zoom overview tiles park in _deferred_dirty and fold on a
+        # later flush/materialize, so the per-batch wall drops the
+        # always-dirty low-zoom recompose share
+        delta2 = _synth(
+            spark_c, max(500, n_pages // 200), seed=778, start=2 * n_pages
+        )
+        timings["calib_compact_deferred"] = _calib_hilbert_once()
+        t0 = time.time()
+        s2 = compact_planet(
+            spark_c, planet, delta2, BuildConfig(leaf_zoom=12),
+            defer_zoom_below=8,
+        )
+        timings["compact_deferred_halfpct"] = round(time.time() - t0, 3)
+        timings["compact_deferred_parked_tiles"] = s2["deferred_tiles"]
         spark_c.stop()
 
         # representative oracle queries at sf_dir

@@ -198,3 +198,25 @@ def test_compaction_deferred_low_zoom_flush(spark, tmp_path):
 
     assert materialize_tiles(spark, inc_dir, cfg) == 3
     assert _tile_map(spark.read.parquet(inc_dir + "/tiles")) == full_tiles
+
+
+def test_dirty_content_pushes_range_predicates(spark, tmp_path):
+    """The coarse per-zoom tile_h ranges must reach the parquet scan as
+    pushed filters (row-group skipping for spatially clustered deltas);
+    the exact dirty-key restriction rides a broadcast semi-join above."""
+    from pvt_spark.plans.compaction import _dirty_content
+
+    cfg = BuildConfig()
+    p0 = synthesize_pages(spark, 60, seed=44, partitions=1)
+    planet = str(tmp_path / "p")
+    build_planet(spark, p0, planet, cfg)
+
+    dirty = spark.createDataFrame(
+        [(12, 100), (12, 200), (10, 50)], "zoom int, tile_h long"
+    )
+    df = _dirty_content(spark, planet + "/content", dirty)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(tile_h" in plan, plan[:2000]
+    assert "LessThanOrEqual(tile_h" in plan
+    # and the exact restriction is a broadcast semi-join, not a shuffle
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
