@@ -244,3 +244,113 @@ def brute_topk(
         .withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_index_build(
+    vectors: DataFrame,
+    index_dir: str,
+    n_centroids: int | None = None,
+    iters: int = 2,
+    fit_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> dict:
+    """Persist an IVF index: centroids + the vector table partitioned
+    BY CELL, so a search's probe set prunes at the directory level —
+    cell-restricted I/O, not merely a cell-restricted join. The
+    at-scale usage shape: fit/assign once, amortize across queries.
+
+    ``n_centroids`` defaults to ceil(sqrt(N)); ``fit_fraction``
+    subsamples the fit (deterministic hash sample) while the full
+    table is still assigned — at planet scale Lloyd iterations run on
+    a sample, assignment is one map-side pass. Writes
+    ``<index_dir>/centroids``, ``<index_dir>/vectors`` (partitioned by
+    ``centroid_id``), and an ``_index.json`` descriptor; returns the
+    descriptor.
+    """
+    import json
+    import math
+    import os
+    import time
+
+    spark = vectors.sparkSession
+    t0 = time.time()
+    n = vectors.count()
+    if n == 0:
+        raise ValueError("cannot index an empty vector table")
+    k = n_centroids or max(1, math.ceil(math.sqrt(n)))
+    fit_input = vectors
+    if fit_fraction is not None and fit_fraction < 1.0:
+        # deterministic hash sample (no RNG — resume/replay safe)
+        mod = max(1, int(round(1.0 / fit_fraction)))
+        fit_input = vectors.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        )
+    cents = kmeans_fit(fit_input, k, iters=iters, vec_col=vec_col)
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    dim = len(vectors.select(vec_col).first()[0])
+    desc = {
+        "n_vectors": n,
+        "n_centroids": k,
+        "dim": dim,
+        "iters": iters,
+        "fit_fraction": fit_fraction,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "build_sec": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(index_dir, "_index.json"), "w") as f:
+        json.dump(desc, f, indent=1, sort_keys=True)
+    return desc
+
+
+def ivf_index_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    nprobe: int = 8,
+    k: int = 10,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a persisted IVF index. The probe cells (nprobe nearest
+    centroids per query, a tiny driver-side set) become a STATIC
+    ``centroid_id IN (...)`` predicate on the partitioned vector
+    table, so the scan reads only the probed cells' directories —
+    with sqrt(N) cells and Q queries, at most Q*nprobe of them."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_index.json")) as f:
+        desc = json.load(f)
+    id_col, vec_col = desc["id_col"], desc["vec_col"]
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    d2q = _d2("qv", "cv")
+    wp = Window.partitionBy(query_id_col).orderBy(F.asc("_d2"), F.asc("centroid_id"))
+    probes = (
+        queries.select(query_id_col, F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select(query_id_col, "qv", "centroid_id", F.expr(d2q).alias("_d2"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= nprobe)
+        .select(query_id_col, "qv", "centroid_id")
+    )
+    cells = [int(r.centroid_id) for r in probes.select("centroid_id").distinct().collect()]
+    vecs = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
+        F.col("centroid_id").isin(cells)
+    )
+    dot = _dot(vec_col, "qv")
+    wk = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        vecs.join(F.broadcast(probes), "centroid_id")
+        .select(query_id_col, id_col, F.expr(dot).alias("dot"))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+    )
