@@ -19,7 +19,9 @@
   group resolution (recursive-CTE closure); q37 certifies the H3/S2-
   style cell index (face-Hilbert packing + parent algebra + hex cells
   — the hex float path bit-exact via round_even, the Hilbert step via
-  the unrolled CTE). q38-q41 certify the web-corpus curation surface
+  the unrolled CTE). q42/q43 certify the Gopher-style repetition
+  filters and the cross-document duplicated-8-gram spans (word-level
+  substring-dedup shape). q38-q41 certify the web-corpus curation surface
   and its geo composition: URL canonicalization, SemDeDup semantic
   dedup (independent recursive-CTE closure), the one-scan curation
   funnel, and zonal statistics over the partitioned PIP join.

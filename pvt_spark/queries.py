@@ -2182,6 +2182,161 @@ GROUP BY n_nationkey, n_name ORDER BY n_nationkey
 """
 
 
+def _grams_expr_spark(n: int) -> str:
+    """Word n-gram positions (NOT distinct — repetition counting needs
+    every occurrence) as a native SQL array expression over ``text``."""
+    parts = ", ".join(f"element_at(split(text,' '), i+{k})" for k in range(n))
+    # CASE guard: Spark's sequence(1, 0) DESCENDS to [1, 0] instead of
+    # being empty, so docs shorter than n words need an explicit branch
+    return (
+        f"CASE WHEN size(split(text,' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split(text,' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) ELSE array() END"
+    )
+
+
+def _grams_expr_duck(n: int) -> str:
+    return (
+        f"[array_to_string(string_split(text,' ')[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len(string_split(text,' ')) - {n - 1}, 0) + 1)]"
+    )
+
+
+def q42_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, App. A), word
+    granularity: per document, the fraction of word-2-grams taken by
+    the single most frequent 2-gram (``top_bigram_milli``) and the
+    fraction of word-5-gram positions whose gram occurs more than once
+    in the document (``dup_5gram_milli``). Exact integer milli units.
+
+    Scale shape: one explode per gram size -> groupBy(doc_id, gram)
+    with map-side partial aggregation -> per-doc rollup. No self-join,
+    no window over the corpus; both shuffles key on (doc_id, gram), so
+    hot grams stay bounded by per-document gram counts."""
+    (docs,) = load(spark, sf_dir, "documents")
+
+    def per_doc(n: int, top_col: str, dup_col: str) -> DataFrame:
+        grams = docs.select(
+            "doc_id", F.explode(F.expr(_grams_expr_spark(n))).alias("gram")
+        )
+        counts = grams.groupBy("doc_id", "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return counts.groupBy("doc_id").agg(
+            F.expr("max(c) * 1000 div sum(c)").alias(top_col),
+            F.expr(
+                "sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000 div sum(c)"
+            ).alias(dup_col),
+        )
+
+    two = per_doc(2, "top_bigram_milli", "dup_bigram_milli")
+    five = per_doc(5, "top_5gram_milli", "dup_5gram_milli")
+    return (
+        docs.select("doc_id")
+        .join(two, "doc_id", "left")
+        .join(five, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_bigram_milli", F.lit(0)).alias("top_bigram_milli"),
+            F.coalesce("dup_bigram_milli", F.lit(0)).alias("dup_bigram_milli"),
+            F.coalesce("top_5gram_milli", F.lit(0)).alias("top_5gram_milli"),
+            F.coalesce("dup_5gram_milli", F.lit(0)).alias("dup_5gram_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q42_SQL = f"""
+WITH g2 AS (
+  SELECT doc_id, unnest({_grams_expr_duck(2)}) AS gram FROM documents),
+g5 AS (
+  SELECT doc_id, unnest({_grams_expr_duck(5)}) AS gram FROM documents),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+c5 AS (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY doc_id, gram),
+r2 AS (
+  SELECT doc_id,
+         CAST(max(c) * 1000 // sum(c) AS BIGINT) AS top_bigram_milli,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000 // sum(c) AS BIGINT)
+           AS dup_bigram_milli
+  FROM c2 GROUP BY doc_id),
+r5 AS (
+  SELECT doc_id,
+         CAST(max(c) * 1000 // sum(c) AS BIGINT) AS top_5gram_milli,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000 // sum(c) AS BIGINT)
+           AS dup_5gram_milli
+  FROM c5 GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(top_bigram_milli, 0) AS top_bigram_milli,
+       coalesce(dup_bigram_milli, 0) AS dup_bigram_milli,
+       coalesce(top_5gram_milli, 0) AS top_5gram_milli,
+       coalesce(dup_5gram_milli, 0) AS dup_5gram_milli
+FROM documents d LEFT JOIN r2 USING (doc_id) LEFT JOIN r5 USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q43_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection at word granularity —
+    the inverted-index shape of substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a word
+    8-gram appearing in >= 2 distinct documents marks a shared span.
+    Per document: how many of its distinct 8-grams are shared with any
+    other document, and the milli fraction of its distinct 8-grams.
+
+    Scale shape: distinct grams per doc -> groupBy(gram) to count
+    distinct docs (the inverted index; partial-agg friendly) -> filter
+    shared -> equi-join back on gram -> per-doc rollup. Equivalent to
+    the suffix-array pass at fixed span length, with no sort over the
+    concatenated corpus and no self-join."""
+    (docs,) = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"array_distinct({_grams_expr_spark(8)})")
+        ).alias("gram"),
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        grams.join(shared, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return (
+        per_doc.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "shared_grams",
+            F.expr("shared_grams * 1000 div n_grams").alias("shared_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q43_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_grams_expr_duck(8)}) AS gram FROM documents)),
+shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS shared_grams
+  FROM grams JOIN shared USING (gram) GROUP BY doc_id)
+SELECT doc_id, n_grams, shared_grams,
+       CAST(shared_grams * 1000 // n_grams AS BIGINT) AS shared_milli
+FROM per_doc JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2232,6 +2387,8 @@ REGISTRY: dict[str, tuple] = {
     "q39_semantic_dedup": (q39_semantic_dedup, Q39_SQL),
     "q40_corpus_funnel": (q40_corpus_funnel, Q40_SQL),
     "q41_zonal_stats": (q41_zonal_stats, Q41_SQL),
+    "q42_repetition_quality": (q42_repetition_quality, Q42_SQL),
+    "q43_crossdoc_ngrams": (q43_crossdoc_ngrams, Q43_SQL),
 }
 
 
