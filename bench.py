@@ -421,6 +421,28 @@ def main() -> None:
         timings["ivf_100k_recall_at_10"] = round(sum(rec) / len(rec), 3)
         timings["ivf_100k_centroids"] = n_cent
 
+        # persisted IVF index: same vectors/queries, but the index is
+        # written once (centroids + vectors partitioned BY CELL, fit on
+        # a 10% hash sample) and the search prunes probe cells at the
+        # directory level — the amortized many-queries shape
+        from pvt_spark.operators.ann import ivf_index_build, ivf_index_search
+
+        idx_dir = tempfile.mkdtemp(prefix="ivf_idx_")
+        try:
+            t0 = time.time()
+            ivf_index_build(vecs, idx_dir, fit_fraction=0.1)
+            timings["ivf_index_build_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            idx_top = ivf_index_search(spark, idx_dir, qs, nprobe=8, k=10).collect()
+            timings["ivf_index_search20_sec"] = round(time.time() - t0, 3)
+            got_i: dict[int, set] = {}
+            for r in idx_top:
+                got_i.setdefault(r.query_id, set()).add(r.vec_id)
+            rec_i = [len(got_i.get(q, set()) & w) / len(w) for q, w in want.items()]
+            timings["ivf_index_recall_at_10"] = round(sum(rec_i) / len(rec_i), 3)
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+
         # dedup grouping at web-dup shape: 1.84M candidate edges =
         # 200k stars of 10 docs (the dominant real LSH shape) + 10k
         # chains of 5 (diameter 4 forces multiple supersteps). The CC
