@@ -2337,6 +2337,173 @@ ORDER BY doc_id
 """
 
 
+_Q44_TERMS = ("spark", "hash", "window")
+_Q44_K = 10
+
+
+def q44_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style retrieval: score every document against a fixed
+    3-term query and return the top 10. Exact-integer variant of
+    Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75 in milli units; the
+    log idf is replaced by the rational rarity weight
+    ``(N - df + 1) * 1000 div (df + 1)`` so Spark and DuckDB agree
+    bit-for-bit — documented divergence, monotone in df exactly like
+    the log form).
+
+    Scale shape: term explode -> filter to query terms BEFORE any
+    shuffle (the inverted-index posting fetch), groupBy(doc_id, term)
+    tf, broadcast term df + scalar corpus stats, one window for the
+    final top-k. No self-join; candidate set is bounded by the
+    postings of the query terms, not the corpus."""
+    from pyspark.sql.window import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in _Q44_TERMS)
+    base = docs.selectExpr("doc_id", "split(text, ' ') AS words")
+    lens = base.selectExpr("doc_id", "size(words) AS dl")
+    postings = base.selectExpr(
+        "doc_id", "explode(words) AS term"
+    ).where(f"term IN ({terms})")
+    tf = postings.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(dl) * 1000 div count(1)").alias("avgdl_milli"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "doc_id", "term", "tf",
+            "(n_docs - df_t + 1) * 1000 div (df_t + 1) AS idf_milli",
+            "dl * 1000000 div avgdl_milli AS l_milli",
+        )
+        .selectExpr(
+            "doc_id", "term",
+            "idf_milli * ((tf * 2200 * 1000) div "
+            "(tf * 1000 + (1200 * (250 + (750 * l_milli) div 1000)) div 1000)) "
+            "div 1000 AS term_milli",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_milli").alias("score_milli"),
+            F.count(F.lit(1)).alias("matched_terms"),
+        )
+    )
+    w = Window.orderBy(F.desc("score_milli"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _Q44_K)
+        .select("rank", "doc_id", "score_milli", "matched_terms")
+        .orderBy("rank")
+    )
+
+
+Q44_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+lens AS (SELECT doc_id, len(words) AS dl FROM base),
+postings AS (
+  SELECT doc_id, unnest(words) AS term FROM base),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM postings
+  WHERE term IN ({", ".join(f"'{t}'" for t in _Q44_TERMS)})
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) * 1000 // count(*) AS BIGINT) AS avgdl_milli
+  FROM lens),
+parts AS (
+  SELECT doc_id, term,
+         CAST((n_docs - df_t + 1) * 1000 // (df_t + 1) AS BIGINT) AS idf_milli,
+         CAST(dl * 1000000 // avgdl_milli AS BIGINT) AS l_milli, tf
+  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(idf_milli * ((tf * 2200 * 1000) //
+           (tf * 1000 + (1200 * (250 + (750 * l_milli) // 1000)) // 1000))
+           // 1000) AS BIGINT) AS score_milli,
+         count(*) AS matched_terms
+  FROM parts GROUP BY doc_id),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY score_milli DESC, doc_id) AS rank,
+         doc_id, score_milli, matched_terms
+  FROM scored)
+SELECT rank, doc_id, score_milli, matched_terms
+FROM ranked WHERE rank <= {_Q44_K} ORDER BY rank
+"""
+
+
+def q45_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus statistics — the per-host quota/blocklist
+    primitive of web-corpus curation (CCNet / RefinedWeb style):
+    canonicalize each document's crawl URL (q38's certified chain),
+    extract the host, and roll up per host: page count, distinct
+    canonical URLs (the URL-dup signal), total chars, and mean doc
+    length in exact milli units.
+
+    Scale shape: one scan -> native regexp host extraction -> a single
+    groupBy(host); count_distinct shuffles (host, canonical_url) pairs,
+    bounded by the corpus itself. Hosts are the classic skew key at
+    100 TB — the aggregation is partial-agg friendly and AQE splits a
+    hot host's partition."""
+    from .functions.urls import canonical_url
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id", "n_chars",
+            _Q38_URL.replace("AS VARCHAR", "AS STRING") + " AS url",
+        )
+        .withColumn("canonical_url", canonical_url(F.col("url")))
+        .withColumn(
+            "host", F.regexp_extract("canonical_url", r"^[a-z]+://([^/:?#]+)", 1)
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("canonical_url").alias("n_urls"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("sum(n_chars) * 1000 div count(1)").alias("mean_chars_milli"),
+        )
+        .orderBy("host")
+    )
+
+
+Q45_SQL = f"""
+WITH raw AS (SELECT doc_id, n_chars, {_Q38_URL} AS url FROM documents),
+s1 AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*', '', 'g') AS u1 FROM raw),
+s2 AS (
+  SELECT doc_id, n_chars,
+    lower(regexp_extract(u1, '^([A-Za-z]+://[^/?]*)', 1)) AS head,
+    substring(u1, length(regexp_extract(u1, '^([A-Za-z]+://[^/?]*)', 1)) + 1)
+      AS rest
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_chars,
+    regexp_replace(regexp_replace(head, '://www\\.', '://'),
+                   ':(80|443)$', '') AS head,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_replace(rest, 'utm_[^&]*&', '', 'g'),
+                       '[?&]utm_[^&]*$', ''),
+        '\\?&', '?'),
+      '[?/]+$', '') AS rest
+  FROM s2),
+canon AS (
+  SELECT doc_id, n_chars, head || rest AS canonical_url,
+         regexp_extract(head || rest, '^[a-z]+://([^/:?#]+)', 1) AS host
+  FROM s3)
+SELECT host, count(*) AS n_pages,
+       count(DISTINCT canonical_url) AS n_urls,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) * 1000 // count(*) AS BIGINT) AS mean_chars_milli
+FROM canon GROUP BY host ORDER BY host
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2389,6 +2556,8 @@ REGISTRY: dict[str, tuple] = {
     "q41_zonal_stats": (q41_zonal_stats, Q41_SQL),
     "q42_repetition_quality": (q42_repetition_quality, Q42_SQL),
     "q43_crossdoc_ngrams": (q43_crossdoc_ngrams, Q43_SQL),
+    "q44_bm25_topk": (q44_bm25_topk, Q44_SQL),
+    "q45_host_stats": (q45_host_stats, Q45_SQL),
 }
 
 

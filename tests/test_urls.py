@@ -49,6 +49,18 @@ def test_q38_matches_duckdb_oracle(spark, sf_dir):
     assert res["q38_url_canonical"].get("match") is True, res
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_q45_host_stats_matches_duckdb_oracle(spark, sf_dir):
+    """Domain-level rollup over the canonical-URL chain (q45)."""
+    from pvt_spark.queries import compare_against_oracle, q45_host_stats
+
+    res = compare_against_oracle(spark, sf_dir, names={"q45_host_stats"})
+    assert res["q45_host_stats"].get("match") is True, res
+    # host extraction drops ports/paths: every host is siteN.example.com
+    hosts = [r.host for r in q45_host_stats(spark, sf_dir).collect()]
+    assert all(h.startswith("site") and h.endswith(".example.com") for h in hosts)
+
+
 # -- property: canonical_url is a PROJECTION on well-formed crawl URLs
 # (f(f(u)) == f(u)) — the contract that makes it safe as a dedup key.
 # Components are alphanumeric (no 'utm'/'www' lookalikes outside the
