@@ -2504,6 +2504,45 @@ FROM canon GROUP BY host ORDER BY host
 """
 
 
+def q46_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in exact integer space — the
+    cluster-statistics primitive behind semantic dedup and IVF
+    re-training: quantize each embedding to milli (the q39-certified
+    expression, order-independent integer sums), then mean each
+    dimension per label.
+
+    Scale shape: one posexplode (64 rows/vector) -> groupBy(label, pos)
+    with map-side partials; output cardinality is labels x dim,
+    independent of corpus size. The 100 TB form of 'recompute
+    centroids from assignments' (kmeans_fit's update step is this
+    exact aggregation)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = "transform(embedding, e -> cast(round(e * 1000) as bigint))"
+    return (
+        emb.selectExpr("label", f"posexplode({q}) AS (pos, qe)")
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr("sum(qe) div count(1)").alias("mean_milli"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+Q46_SQL = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding, e -> CAST(round(e * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+exploded AS (
+  SELECT label, i - 1 AS pos, qv[i] AS qe
+  FROM q, unnest(range(1, len(qv) + 1)) AS t(i))
+SELECT label, pos, count(*) AS n_vecs,
+       CAST(sum(qe) // count(*) AS BIGINT) AS mean_milli
+FROM exploded GROUP BY label, pos ORDER BY label, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2558,6 +2597,7 @@ REGISTRY: dict[str, tuple] = {
     "q43_crossdoc_ngrams": (q43_crossdoc_ngrams, Q43_SQL),
     "q44_bm25_topk": (q44_bm25_topk, Q44_SQL),
     "q45_host_stats": (q45_host_stats, Q45_SQL),
+    "q46_label_centroids": (q46_label_centroids, Q46_SQL),
 }
 
 

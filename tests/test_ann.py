@@ -1,6 +1,7 @@
 """IVF ANN operators: deterministic k-means, map-side assignment,
 cell-restricted search vs the brute-force oracle."""
 
+import pytest
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -176,3 +177,19 @@ def test_ivf_index_persist_roundtrip(spark, tmp_path):
     desc2 = ivf_index_build(vecs, idx2, iters=1, fit_fraction=0.25)
     n_indexed = spark.read.parquet(os.path.join(idx2, "vectors")).count()
     assert n_indexed == 3000 and desc2["fit_fraction"] == 0.25
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_q46_label_centroids_oracle_and_kmeans_parity(spark, sf_dir):
+    """q46 is the kmeans update step as a certified query: per-label
+    integer-quantized centroid means, matched against DuckDB."""
+    from pvt_spark.queries import compare_against_oracle, q46_label_centroids
+
+    res = compare_against_oracle(spark, sf_dir, names={"q46_label_centroids"})
+    assert res["q46_label_centroids"].get("match") is True, res
+    out = q46_label_centroids(spark, sf_dir)
+    rows = out.collect()
+    # labels x dim cardinality, every label fully dimensioned
+    assert len(rows) == 640
+    assert {r.pos for r in rows} == set(range(64))
+    assert all(r.n_vecs > 0 for r in rows)
