@@ -265,6 +265,10 @@ def main() -> None:
             # full dedup pipeline: LSH bands -> candidate pairs ->
             # connected components -> canonical survivors
             "q36_dedup_groups",
+            # text-explode class: per-doc 2/5-gram repetition signals
+            "q42_repetition_quality",
+            # posting-fetch retrieval: BM25 top-k
+            "q44_bm25_topk",
         ]
         for name in bench_queries:
             fn, _sql = REGISTRY[name]
