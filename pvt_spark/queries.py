@@ -2209,32 +2209,39 @@ def q42_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of word-5-gram positions whose gram occurs more than once
     in the document (``dup_5gram_milli``). Exact integer milli units.
 
-    Scale shape: one explode per gram size -> groupBy(doc_id, gram)
-    with map-side partial aggregation -> per-doc rollup. No self-join,
-    no window over the corpus; both shuffles key on (doc_id, gram), so
-    hot grams stay bounded by per-document gram counts."""
+    Scale shape: ONE scan of the text column — both gram sizes are
+    tagged structs in a single explode -> groupBy(doc_id, n, gram)
+    with map-side partial aggregation -> per-doc conditional rollup.
+    No self-join, no window over the corpus; the shuffle keys on
+    (doc_id, n, gram), so hot grams stay bounded by per-document gram
+    counts."""
     (docs,) = load(spark, sf_dir, "documents")
-
-    def per_doc(n: int, top_col: str, dup_col: str) -> DataFrame:
-        grams = docs.select(
-            "doc_id", F.explode(F.expr(_grams_expr_spark(n))).alias("gram")
-        )
-        counts = grams.groupBy("doc_id", "gram").agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        return counts.groupBy("doc_id").agg(
-            F.expr("max(c) * 1000 div sum(c)").alias(top_col),
-            F.expr(
-                "sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000 div sum(c)"
-            ).alias(dup_col),
-        )
-
-    two = per_doc(2, "top_bigram_milli", "dup_bigram_milli")
-    five = per_doc(5, "top_5gram_milli", "dup_5gram_milli")
+    tagged = (
+        f"concat("
+        f"transform({_grams_expr_spark(2)}, g -> named_struct('n', 2, 'gram', g)), "
+        f"transform({_grams_expr_spark(5)}, g -> named_struct('n', 5, 'gram', g)))"
+    )
+    counts = (
+        docs.select("doc_id", F.explode(F.expr(tagged)).alias("ng"))
+        .select("doc_id", F.col("ng.n").alias("n"), F.col("ng.gram").alias("gram"))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = counts.groupBy("doc_id", "n").agg(
+        F.expr("max(c) * 1000 div sum(c)").alias("top_milli"),
+        F.expr(
+            "sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000 div sum(c)"
+        ).alias("dup_milli"),
+    )
+    rolled = per.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("top_milli"))).alias("top_bigram_milli"),
+        F.max(F.when(F.col("n") == 2, F.col("dup_milli"))).alias("dup_bigram_milli"),
+        F.max(F.when(F.col("n") == 5, F.col("top_milli"))).alias("top_5gram_milli"),
+        F.max(F.when(F.col("n") == 5, F.col("dup_milli"))).alias("dup_5gram_milli"),
+    )
     return (
         docs.select("doc_id")
-        .join(two, "doc_id", "left")
-        .join(five, "doc_id", "left")
+        .join(rolled, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("top_bigram_milli", F.lit(0)).alias("top_bigram_milli"),
