@@ -2550,6 +2550,64 @@ FROM exploded GROUP BY label, pos ORDER BY label, pos
 """
 
 
+_Q47_RATES = {"en": 500, "de": 1000, "fr": 250, "es": 750, "zh": 100}  # keep-rate in milli
+
+
+def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling — the down-weighting
+    primitive for over-represented strata (languages here; the same
+    shape applies to domains): each document draws a uniform bucket in
+    [0, 1000) from an md5 hash of its id (q20's hex-parse parity, no
+    RNG — replay/resume safe), and is kept when bucket < the stratum's
+    milli rate. Output is the per-stratum audit table: population,
+    kept count, configured rate, and realized rate.
+
+    Scale shape: one scan, one groupBy(lang); the keep decision is a
+    pure per-row expression (whole-stage codegen), so the sample
+    itself can be taken with a WHERE — the audit aggregate here is the
+    verification artifact."""
+    (docs,) = load(spark, sf_dir, "documents")
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _Q47_RATES.items()
+    ) + " ELSE 0 END"
+    bucket = "cast(conv(substring(md5(cast(doc_id as string)), 1, 14), 16, 10) as bigint) % 1000"
+    return (
+        docs.selectExpr(
+            "lang",
+            f"CASE WHEN {bucket} < {rate} THEN 1 ELSE 0 END AS kept",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .selectExpr(
+            "lang", "n_docs", "n_kept",
+            f"{rate} AS rate_milli",
+            "n_kept * 1000 div n_docs AS realized_milli",
+        )
+        .orderBy("lang")
+    )
+
+
+_Q47_BUCKET_DUCK = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 1000"
+)
+_Q47_RATE_DUCK = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in _Q47_RATES.items()
+) + " ELSE 0 END"
+Q47_SQL = f"""
+WITH flagged AS (
+  SELECT lang,
+         CASE WHEN {_Q47_BUCKET_DUCK} < {_Q47_RATE_DUCK} THEN 1 ELSE 0 END AS kept
+  FROM documents)
+SELECT lang, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST({_Q47_RATE_DUCK} AS BIGINT) AS rate_milli,
+       CAST(sum(kept) * 1000 // count(*) AS BIGINT) AS realized_milli
+FROM flagged GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2605,6 +2663,7 @@ REGISTRY: dict[str, tuple] = {
     "q44_bm25_topk": (q44_bm25_topk, Q44_SQL),
     "q45_host_stats": (q45_host_stats, Q45_SQL),
     "q46_label_centroids": (q46_label_centroids, Q46_SQL),
+    "q47_stratified_sample": (q47_stratified_sample, Q47_SQL),
 }
 
 

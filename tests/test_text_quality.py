@@ -80,3 +80,28 @@ def test_q42_q43_match_duckdb_oracle(spark, sf_dir):
     )
     for name, rec in res.items():
         assert rec.get("match") is True, (name, rec)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_q47_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: oracle parity + invariants."""
+    from pvt_spark.queries import (
+        _Q47_RATES,
+        compare_against_oracle,
+        q47_stratified_sample,
+    )
+
+    res = compare_against_oracle(spark, sf_dir, names={"q47_stratified_sample"})
+    assert res["q47_stratified_sample"].get("match") is True, res
+    rows = {r.lang: r for r in q47_stratified_sample(spark, sf_dir).collect()}
+    for lang, r in rows.items():
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.rate_milli == _Q47_RATES.get(lang, 0)
+        # rate 1000 keeps everything; rate 0 keeps nothing
+        if r.rate_milli == 1000:
+            assert r.n_kept == r.n_docs
+    # determinism: a second run returns the identical table
+    again = {r.lang: r for r in q47_stratified_sample(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
