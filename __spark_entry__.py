@@ -23,7 +23,8 @@
   filters and the cross-document duplicated-8-gram spans (word-level
   substring-dedup shape); q44 exact-integer BM25 retrieval; q45
   domain-level host stats; q46 per-label embedding centroids; q47
-  deterministic stratified sampling. q38-q41 certify the web-corpus curation surface
+  deterministic stratified sampling; q48 integer-PageRank host
+  centrality. q38-q41 certify the web-corpus curation surface
   and its geo composition: URL canonicalization, SemDeDup semantic
   dedup (independent recursive-CTE closure), the one-scan curation
   funnel, and zonal statistics over the partitioned PIP join.

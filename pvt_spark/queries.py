@@ -2608,6 +2608,87 @@ FROM flagged GROUP BY lang ORDER BY lang
 """
 
 
+_Q48_ITERS = 3
+
+
+def q48_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph centrality — crawl-prioritization PageRank in exact
+    integer milli arithmetic (damping 0.85; _Q48_ITERS fixed power
+    iterations, unrolled identically in the oracle). The link graph is
+    synthesized deterministically from doc ids with the same literal
+    SQL on both sides: src = doc_id % 50 with two quadratic-map
+    out-links per document (an affine map mod 50 would make every
+    host's in-flow exactly its own rank — a degenerate regular graph
+    where power iteration is a fixed point at t=0), parallel edges
+    collapsing to integer weights.
+
+    Scale shape: each iteration is one equi-join of the rank vector
+    (|hosts| rows) against the weighted edge list + one groupBy(dst)
+    with map-side partials — the standard Pregel-free DataFrame
+    PageRank; edges partition once and re-use, ranks are the only
+    moving rows. Dangling hosts keep the teleport floor."""
+    (docs,) = load(spark, sf_dir, "documents")
+    edges = (
+        docs.selectExpr(
+            "doc_id % 50 AS src",
+            "explode(array((doc_id * doc_id * 3 + doc_id * 7 + 3) % 50, "
+            "(doc_id * doc_id * 5 + doc_id * 11 + 7) % 50)) AS dst",
+        )
+        .where("src != dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = edges.join(outw, "src")
+    hosts = docs.selectExpr("doc_id % 50 AS host").distinct()
+    rank = hosts.select("host", F.lit(1000).alias("rank_milli"))
+    for _ in range(_Q48_ITERS):
+        contrib = (
+            ew.join(rank.withColumnRenamed("host", "src"), "src")
+            .selectExpr("dst AS host", "rank_milli * w div outw AS c")
+            .groupBy("host")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        rank = (
+            hosts.join(contrib, "host", "left")
+            .selectExpr(
+                "host",
+                "150 + 850 * coalesce(inflow, 0) div 1000 AS rank_milli",
+            )
+        )
+    return rank.orderBy("host")
+
+
+def _q48_sql_iter(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT h.host,
+         150 + 850 * coalesce(sum(p.rank_milli * e.w // e.outw), 0) // 1000
+           AS rank_milli
+  FROM hosts h
+  LEFT JOIN ew e ON e.dst = h.host
+  LEFT JOIN {prev} p ON p.host = e.src
+  GROUP BY h.host)"""
+
+
+Q48_SQL = f"""
+WITH raw AS (
+  SELECT doc_id % 50 AS src,
+         unnest([(doc_id * doc_id * 3 + doc_id * 7 + 3) % 50,
+                 (doc_id * doc_id * 5 + doc_id * 11 + 7) % 50]) AS dst
+  FROM documents),
+edges AS (
+  SELECT src, dst, count(*) AS w FROM raw WHERE src != dst GROUP BY src, dst),
+outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, o.outw FROM edges e JOIN outw o USING (src)),
+hosts AS (SELECT DISTINCT doc_id % 50 AS host FROM documents),
+r0 AS (SELECT host, 1000 AS rank_milli FROM hosts),
+{",".join(_q48_sql_iter(f"r{i}", f"r{i + 1}") for i in range(_Q48_ITERS))}
+SELECT host, CAST(rank_milli AS BIGINT) AS rank_milli
+FROM r{_Q48_ITERS} ORDER BY host
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2664,6 +2745,7 @@ REGISTRY: dict[str, tuple] = {
     "q45_host_stats": (q45_host_stats, Q45_SQL),
     "q46_label_centroids": (q46_label_centroids, Q46_SQL),
     "q47_stratified_sample": (q47_stratified_sample, Q47_SQL),
+    "q48_host_rank": (q48_host_rank, Q48_SQL),
 }
 
 

@@ -161,3 +161,18 @@ def test_q39_q40_match_duckdb_oracle(spark, sf_dir):
     )
     assert res["q39_semantic_dedup"].get("match") is True, res
     assert res["q40_corpus_funnel"].get("match") is True, res
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_q48_host_rank(spark, sf_dir):
+    """Integer PageRank over the synthesized host graph: oracle parity
+    plus structural invariants."""
+    from pvt_spark.queries import compare_against_oracle, q48_host_rank
+
+    res = compare_against_oracle(spark, sf_dir, names={"q48_host_rank"})
+    assert res["q48_host_rank"].get("match") is True, res
+    rows = q48_host_rank(spark, sf_dir).collect()
+    assert len(rows) == 50
+    # teleport floor; damped inflow keeps ranks bounded and non-degenerate
+    assert all(r.rank_milli >= 150 for r in rows)
+    assert len({r.rank_milli for r in rows}) > 1
