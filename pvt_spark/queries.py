@@ -2689,6 +2689,85 @@ FROM r{_Q48_ITERS} ORDER BY host
 """
 
 
+from .functions.pii import EMAIL_RE as _PII_EMAIL
+from .functions.pii import IPV4_RE as _PII_IP
+from .functions.pii import PHONE_RE as _PII_PHONE
+
+# PII is planted deterministically from doc_id with the same literal SQL
+# on both sides (the q38/q39 pattern — the synthetic corpus carries no
+# real PII, so matches must be constructed for the oracle to certify
+# non-trivial counts and redactions).
+_Q49_TEXT = (
+    "concat(text,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' contact user',"
+    " CAST(doc_id AS VARCHAR), '@mail', CAST(doc_id % 7 AS VARCHAR),"
+    " '.example.com now') ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.',"
+    " CAST(doc_id % 256 AS VARCHAR), '.0.', CAST(doc_id % 100 AS VARCHAR),"
+    " ' logged') ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat(' call 555-',"
+    " lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' today')"
+    " ELSE '' END)"
+)
+
+
+def q49_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the standard pre-training redaction pass (C4,
+    RefinedWeb, Dolma): per-document e-mail / IPv4 / phone counts plus
+    the md5 + length of the redacted text (``functions/pii`` — pure
+    native regexp column expressions, whole-stage codegen).
+
+    Scale shape: a per-row map with ZERO shuffle beyond the final
+    presentation orderBy — at 100 TB it rides the scan that already
+    reads the text column; patterns stay in the shared Java-regex/RE2
+    subset so the identical strings run in the DuckDB oracle. The
+    redaction order (e-mail -> IPv4 -> phone) is part of the contract
+    and mirrored in the oracle."""
+    from .functions.pii import (
+        pii_email_count,
+        pii_ipv4_count,
+        pii_phone_count,
+        redact_pii,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    planted = docs.selectExpr(
+        "doc_id", _Q49_TEXT.replace("AS VARCHAR", "AS STRING") + " AS txt"
+    )
+    red = redact_pii(F.col("txt"))
+    return (
+        planted.select(
+            "doc_id",
+            pii_email_count(F.col("txt")).alias("n_email"),
+            pii_ipv4_count(F.col("txt")).alias("n_ipv4"),
+            pii_phone_count(F.col("txt")).alias("n_phone"),
+            F.length(red).cast("long").alias("redacted_len"),
+            F.md5(red).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q49_SQL = f"""
+WITH planted AS (SELECT doc_id, {_Q49_TEXT} AS txt FROM documents),
+red AS (
+  SELECT doc_id, txt,
+    regexp_replace(regexp_replace(regexp_replace(txt,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_IP}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g') AS r
+  FROM planted)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(txt, '{_PII_IP}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+  CAST(length(r) AS BIGINT) AS redacted_len,
+  md5(r) AS redacted_md5
+FROM red ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2746,6 +2825,7 @@ REGISTRY: dict[str, tuple] = {
     "q46_label_centroids": (q46_label_centroids, Q46_SQL),
     "q47_stratified_sample": (q47_stratified_sample, Q47_SQL),
     "q48_host_rank": (q48_host_rank, Q48_SQL),
+    "q49_pii_redaction": (q49_pii_redaction, Q49_SQL),
 }
 
 
