@@ -1,0 +1,131 @@
+"""Temporal joins Spark lacks natively: backward as-of join and banded
+interval (range) join, both expressed as shuffle-bounded DataFrame plans.
+
+``asof_join`` — for each left row, the latest right row with the same key
+and right_ts <= left_ts (optionally within a lookback tolerance). The naive
+formulation is an inequality join (quadratic per key); here it is the
+classic union + ordered-window scan: tag both sides, union, one window
+ordered by (ts, tag, tie) per key, ``last(payload_struct, ignorenulls)``
+carries the most recent right row forward onto every left row. Cost: ONE
+shuffle on the key plus a per-partition sort — linear, and the same plan a
+stream-table join would compile to. At 100 TB the unit of parallelism is
+the key; a single pathological key (one user with 10^9 events) would pin a
+task, in which case pre-split the key on coarse ts buckets and stitch the
+bucket boundaries with a per-(key,bucket) "last right row" carry table —
+documented here, not needed at our key cardinalities.
+
+``range_join_points`` — join points to intervals of the same key with
+lo <= ts <= hi. The scalable form bands time into fixed-width buckets:
+intervals explode to the buckets they cover (bounded fan-out of
+``len/band + 1``), points map to exactly one bucket, and the join becomes
+an equi-join on (key, band) with a residual BETWEEN filter. Each matching
+pair is produced exactly once (the point's single band), so no dedup pass.
+Pick ``band_us`` near the typical interval length: fan-out stays O(1) and
+the shuffle keys stay fine-grained enough for AQE to balance.
+
+Both run entirely on built-in expressions — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: attach the latest right row per key at-or-before
+    each left row's timestamp.
+
+    ``left_ts`` / ``right_ts`` are bigint epoch-microsecond columns (cast
+    with ``F.unix_micros`` upstream). ``tie`` is a unique bigint on the
+    right that breaks equal-timestamp ties deterministically (largest
+    wins). ``right_cols`` are the right payload columns to attach; they
+    arrive packed through one struct so all of them come from the SAME
+    matched row even if individually null. Left columns pass through
+    unchanged; matched columns are null where no right row qualifies
+    (or the match is older than ``tolerance_us``).
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"),
+        F.col(tie).alias("__tie"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    left_rest = [c for c in left.columns if c not in on]
+    r = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ots"),
+        F.col(tie).alias("__otie"),
+        F.lit(0).alias("__tag"),
+        payload.alias("__pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_rest],
+    )
+    l = left.select(
+        *[F.col(k) for k in on],
+        F.col(left_ts).alias("__ots"),
+        F.lit(None).cast("long").alias("__otie"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__pay"].dataType).alias("__pay"),
+        *left_rest,
+    )
+    # Right rows sort before left rows at equal ts (tag 0 < 1): the match
+    # is inclusive. Within equal-ts right rows, larger tie sorts last and
+    # wins the last().
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ots", "__tag", "__otie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = r.unionByName(l).withColumn("__m", F.last("__pay", ignorenulls=True).over(w))
+    out = u.filter(F.col("__tag") == 1)
+    if tolerance_us is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.__ts") >= F.col("__ots") - F.lit(int(tolerance_us)), F.col("__m")
+            ),
+        )
+    matched = [F.col("__m.__ts").alias(f"matched_{right_ts}")] + [
+        F.col(f"__m.{c}").alias(f"matched_{c}") for c in right_cols
+    ]
+    return out.select(*left.columns, *matched)
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    lo: str,
+    hi: str,
+    band_us: int,
+) -> DataFrame:
+    """Interval-overlap join via time banding: every (interval, point) pair
+    of the same key with ``lo <= point_ts <= hi``, each produced exactly
+    once. All columns of both inputs survive (point columns must not
+    collide with interval columns). ``point_ts``/``lo``/``hi`` are bigint
+    epoch micros.
+    """
+    band = F.lit(int(band_us))
+    iv = intervals.withColumn(
+        "__band",
+        F.explode(F.sequence(F.floor(F.col(lo) / band), F.floor(F.col(hi) / band))),
+    )
+    pt = points.withColumn("__band", F.floor(F.col(point_ts) / band))
+    cond = [iv["__band"] == pt["__band"]] + [iv[k] == pt[k] for k in on]
+    joined = iv.join(pt, cond, "inner").filter(
+        (pt[point_ts] >= iv[lo]) & (pt[point_ts] <= iv[hi])
+    )
+    keep = [iv[c] for c in intervals.columns] + [
+        pt[c] for c in points.columns if c not in on
+    ]
+    return joined.select(*keep)

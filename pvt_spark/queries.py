@@ -2768,6 +2768,129 @@ FROM red ORDER BY doc_id
 """
 
 
+def q50_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union + ordered-window scan, one shuffle): each
+    purchase attaches the user's latest click at-or-before it, 24 h
+    lookback, equal-ts ties to the largest click id. The oracle is the
+    independent quadratic formulation (inequality join + row_number), so
+    agreement certifies the linear plan, not a mirrored query."""
+    from pvt_spark.operators.temporal import asof_join
+
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("us").alias("purchase_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "us"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="purchase_us",
+        right_ts="us",
+        right_cols=["click_id"],
+        tie="click_id",
+        tolerance_us=86_400_000_000,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_us",
+        F.col("matched_click_id").alias("click_id"),
+        F.col("matched_us").alias("click_us"),
+        (F.col("purchase_us") - F.col("matched_us")).alias("lag_us"),
+    ).orderBy("purchase_id")
+
+
+Q50_SQL = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_id, c.cus,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.cus DESC, c.click_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.cus <= p.purchase_us AND c.cus >= p.purchase_us - 86400000000)
+SELECT purchase_id, user_id, purchase_us,
+       click_id, cus AS click_us, purchase_us - cus AS lag_us
+FROM m WHERE rn = 1
+UNION ALL
+SELECT purchase_id, user_id, purchase_us,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM m)
+ORDER BY purchase_id
+"""
+
+
+def q51_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (equi-join on (key, time band) + residual
+    BETWEEN): per signup, clicks of the same user inside [ts, ts+72h] —
+    count and exact cents. Bands make the inequality join an equi-join
+    with bounded fan-out; the oracle is the plain quadratic inequality
+    join, certifying the banding produces each pair exactly once."""
+    from pvt_spark.operators.temporal import range_join_points
+
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("us").alias("lo"),
+        (F.col("us") + F.lit(72 * 3600 * 1_000_000)).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("us").alias("click_us"),
+        F.round(F.col("value") * 100).cast("long").alias("click_cents"),
+    )
+    pairs = range_join_points(
+        clicks,
+        signups,
+        on=["user_id"],
+        point_ts="click_us",
+        lo="lo",
+        hi="hi",
+        band_us=6 * 3600 * 1_000_000,
+    )
+    agg = pairs.groupBy("signup_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("click_cents").alias("click_cents"),
+    )
+    return (
+        signups.select("signup_id", "user_id")
+        .join(agg, ["signup_id", "user_id"], "left")
+        .select(
+            "signup_id",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("click_cents", F.lit(0)).alias("click_cents"),
+        )
+        .orderBy("signup_id")
+    )
+
+
+Q51_SQL = """
+WITH s AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS lo,
+                  epoch_us(ts) + 259200000000 AS hi
+           FROM events WHERE event_type = 'signup'),
+c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus,
+             CAST(round(value*100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'click')
+SELECT s.signup_id, s.user_id,
+       count(c.click_id) AS n_clicks,
+       CAST(coalesce(sum(c.cents), 0) AS BIGINT) AS click_cents
+FROM s LEFT JOIN c
+  ON c.user_id = s.user_id AND c.cus BETWEEN s.lo AND s.hi
+GROUP BY s.signup_id, s.user_id
+ORDER BY s.signup_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2826,6 +2949,8 @@ REGISTRY: dict[str, tuple] = {
     "q47_stratified_sample": (q47_stratified_sample, Q47_SQL),
     "q48_host_rank": (q48_host_rank, Q48_SQL),
     "q49_pii_redaction": (q49_pii_redaction, Q49_SQL),
+    "q50_asof_join": (q50_asof_join, Q50_SQL),
+    "q51_range_join": (q51_range_join, Q51_SQL),
 }
 
 
