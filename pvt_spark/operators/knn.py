@@ -23,6 +23,8 @@ consistent with the reference's location space (src/location.rs:48).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -222,3 +224,89 @@ def knn_per_tile(
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "d2")
     )
     return finish(done1.unionByName(done2).unionByName(brute))
+
+
+def radius_zoom(radius: float) -> int:
+    """Deepest zoom whose tile edge still covers ``radius``: the largest
+    z with ``2^(32-z) >= radius``, clamped to [3, 28].
+
+    At that zoom a ring-1 (3x3) probe neighborhood provably contains
+    every point within ``radius`` of the query, so the radius join needs
+    exactly ONE candidate pass — no escalation ladder. The z >= 3 floor
+    keeps candidate coordinate deltas under 3 tiles = 3*2^29, so squared
+    distances stay int64-exact.
+    """
+    z = 32 - max(0, math.ceil(math.log2(max(1.0, float(radius)))))
+    return max(3, min(28, z))
+
+
+def radius_join_per_tile(
+    points: DataFrame,
+    queries: DataFrame,
+    radius: int,
+    zoom: int | None = None,
+    id_col: str = "feature_id",
+    grid_cols: tuple[str, str] | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """All (query, point) pairs within planar distance ``radius`` — the
+    2D analog of the banded interval join (operators/temporal): bucket
+    space into Hilbert tiles sized >= radius, equi-join on the tile,
+    keep the residual ``d2 <= radius^2``.
+
+    points(feature_id, lon_dm7, lat_dm7, h) x queries(query_id, ..., h)
+    -> (query_id, neighbor_id, d2), d2 int64-exact squared grid
+    distance. Each pair is produced exactly once: a point lives in ONE
+    tile and the query's probe-tile array is deduplicated. Unlike
+    ``knn_per_tile`` the probe side is NOT broadcast — both sides of a
+    radius self-join are corpus-sized, so this is a plain shuffle
+    equi-join on the tile id (AQE splits dense/skewed tiles). One
+    shuffle per side, one pass, no escalation: completeness is
+    guaranteed by the zoom choice (``radius_zoom``), not by a gate.
+
+    ``grid_cols=(x, y)``: use these u32 planar columns directly (same
+    contract as knn_per_tile). ``exclude_self``: drop pairs where
+    neighbor_id == query_id (self radius join). d2 exactness requires
+    zoom >= 3 (candidate deltas <= 3 tiles keep squares in int64);
+    ``radius_zoom`` enforces this.
+    """
+    if zoom is None:
+        zoom = radius_zoom(radius)
+    if not (3 <= zoom <= 31) or float(1 << (32 - zoom)) < float(radius):
+        raise ValueError(
+            f"zoom {zoom} tile edge {1 << (32 - zoom)} does not cover radius "
+            f"{radius} (ring-1 completeness unsound)"
+        )
+    if grid_cols is None:
+        px, py = grid_x(F.col("lon_dm7")), grid_y(F.col("lat_dm7"))
+    else:
+        px, py = F.col(grid_cols[0]), F.col(grid_cols[1])
+    pts = points.select(
+        F.col(id_col).alias("neighbor_id"),
+        zoom_h(F.col("h"), zoom).alias("tile"),
+        px.cast("long").alias("px"),
+        py.cast("long").alias("py"),
+    )
+    qx, qy = (
+        (grid_x(F.col("lon_dm7")), grid_y(F.col("lat_dm7")))
+        if grid_cols is None
+        else (F.col(grid_cols[0]), F.col(grid_cols[1]))
+    )
+    probes = queries.select(
+        "query_id",
+        qx.cast("long").alias("qx"),
+        qy.cast("long").alias("qy"),
+        F.explode(_ring_tiles_col(zoom, 1)(F.col("h"))).alias("probe_tile"),
+    )
+    d2 = (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx")) + (
+        F.col("py") - F.col("qy")
+    ) * (F.col("py") - F.col("qy"))
+    out = (
+        pts.join(probes, pts["tile"] == probes["probe_tile"])
+        .withColumn("d2", d2)
+        .where(F.col("d2") <= F.lit(int(radius) * int(radius)))
+        .select("query_id", "neighbor_id", "d2")
+    )
+    if exclude_self:
+        out = out.where(F.col("neighbor_id") != F.col("query_id"))
+    return out

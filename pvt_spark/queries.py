@@ -2891,6 +2891,63 @@ ORDER BY s.signup_id
 """
 
 
+_Q52_GX = "2000000000 + ({key} * 2654435761) % 2097152"
+_Q52_GY = "2000000000 + ({key} * 2246822519) % 2097152"
+
+
+def q52_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self radius join (2D banded join): per-customer neighbor stats over
+    all pairs within planar distance 200k on the u32 grid. The operator
+    buckets space into Hilbert tiles sized >= the radius (radius_zoom ->
+    z14 here), shuffle equi-joins point tiles against 3x3 probe rings,
+    and keeps the residual d2 <= r^2 — each pair produced exactly once
+    per direction. The oracle is the independent quadratic inequality
+    self-join, certifying the tiling produces every pair and no
+    duplicates."""
+    from .functions.geo import xy_to_hilbert_h
+    from .operators.knn import radius_join_per_tile
+
+    (cust,) = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("feature_id"),
+        F.expr(_Q52_GX.format(key="c_custkey")).alias("gx"),
+        F.expr(_Q52_GY.format(key="c_custkey")).alias("gy"),
+    ).withColumn("h", xy_to_hilbert_h(F.col("gx"), F.col("gy")))
+    qs = pts.select(F.col("feature_id").alias("query_id"), "gx", "gy", "h")
+    pairs = radius_join_per_tile(
+        pts, qs, radius=200_000, grid_cols=("gx", "gy"), exclude_self=True
+    )
+    return (
+        pairs.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.min("d2").alias("min_d2"),
+            F.sum("d2").alias("sum_d2"),
+        )
+        .select(F.col("query_id").alias("custkey"), "n_within", "min_d2", "sum_d2")
+        .orderBy("custkey")
+    )
+
+
+Q52_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST({_Q52_GX.format(key="c_custkey")} AS BIGINT) AS gx,
+         CAST({_Q52_GY.format(key="c_custkey")} AS BIGINT) AS gy
+  FROM customer)
+SELECT a.id AS custkey,
+       count(*) AS n_within,
+       min((a.gx-b.gx)*(a.gx-b.gx) + (a.gy-b.gy)*(a.gy-b.gy)) AS min_d2,
+       CAST(sum((a.gx-b.gx)*(a.gx-b.gx) + (a.gy-b.gy)*(a.gy-b.gy)) AS BIGINT)
+         AS sum_d2
+FROM pts a JOIN pts b
+  ON b.id <> a.id
+ AND (a.gx-b.gx)*(a.gx-b.gx) + (a.gy-b.gy)*(a.gy-b.gy) <= 40000000000
+GROUP BY a.id
+ORDER BY custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2951,6 +3008,7 @@ REGISTRY: dict[str, tuple] = {
     "q49_pii_redaction": (q49_pii_redaction, Q49_SQL),
     "q50_asof_join": (q50_asof_join, Q50_SQL),
     "q51_range_join": (q51_range_join, Q51_SQL),
+    "q52_radius_join": (q52_radius_join, Q52_SQL),
 }
 
 

@@ -440,3 +440,81 @@ def test_q41_zonal_stats_matches_duckdb_oracle(spark):
         spark, "/root/testdata/sf0.001", names={"q41_zonal_stats"}
     )
     assert res["q41_zonal_stats"].get("match") is True, res
+
+
+def _grid_points(spark, rows, id_name="feature_id"):
+    """(id, gx, gy) -> DataFrame with h from the u32 grid coords."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["id", "gx", "gy"])
+    pdf["h"] = hb.h_to_signed(
+        hb.xy2h(pdf["gx"].to_numpy(np.uint64), pdf["gy"].to_numpy(np.uint64))
+    )
+    pdf = pdf.rename(columns={"id": id_name})
+    return spark.createDataFrame(pdf)
+
+
+def test_radius_join_cross_tile_and_boundary_inclusive(spark):
+    """Pairs spanning a tile boundary are found exactly once; d2 == r^2
+    is kept, r^2 + 1 dropped."""
+    from pvt_spark.operators.knn import radius_join_per_tile, radius_zoom
+
+    r = 1000
+    zoom = radius_zoom(r)  # tile edge 2^(32-zoom) >= 1000
+    edge = 1 << (32 - zoom)
+    # a/b straddle the vertical tile boundary at x=edge, 600 apart;
+    # c is exactly r away from a (inclusive); d is r+1 away (excluded)
+    pts = _grid_points(
+        spark,
+        [
+            (1, edge - 300, 5000),
+            (2, edge + 300, 5000),
+            (3, edge - 300, 5000 + r),
+            (4, edge - 300, 5000 + r + 1),
+        ],
+    )
+    qs = _grid_points(spark, [(1, edge - 300, 5000)], id_name="query_id")
+    got = sorted(
+        (row["neighbor_id"], row["d2"])
+        for row in radius_join_per_tile(
+            pts, qs, radius=r, grid_cols=("gx", "gy"), exclude_self=True
+        ).collect()
+    )
+    assert got == [(2, 600 * 600), (3, r * r)]
+
+
+def test_radius_join_exactly_once_self_join(spark):
+    """Dense clump inside one tile + far-away singleton: the self radius
+    join reproduces the quadratic pair set with no duplicates."""
+    from pvt_spark.operators.knn import radius_join_per_tile
+
+    coords = [(i, 10_000 + 37 * i, 20_000 + 91 * (i * i % 13)) for i in range(25)]
+    coords.append((99, 5_000_000, 5_000_000))
+    pts = _grid_points(spark, coords)
+    qs = _grid_points(spark, coords, id_name="query_id")
+    r = 900
+    got = sorted(
+        (row["query_id"], row["neighbor_id"])
+        for row in radius_join_per_tile(
+            pts, qs, radius=r, grid_cols=("gx", "gy"), exclude_self=True
+        ).collect()
+    )
+    expect = sorted(
+        (a, b)
+        for (a, xa, ya) in coords
+        for (b, xb, yb) in coords
+        if a != b and (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
+    )
+    assert got == expect and len(got) == len(set(got)) and len(got) > 0
+
+
+def test_radius_join_rejects_unsound_zoom(spark):
+    from pvt_spark.operators.knn import radius_join_per_tile
+
+    pts = _grid_points(spark, [(1, 100, 100)])
+    qs = _grid_points(spark, [(1, 100, 100)], id_name="query_id")
+    import pytest
+
+    with pytest.raises(ValueError):
+        # tile edge at zoom 20 is 4096 < radius 5000: ring-1 incomplete
+        radius_join_per_tile(pts, qs, radius=5000, zoom=20, grid_cols=("gx", "gy"))
