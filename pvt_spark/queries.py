@@ -2948,6 +2948,37 @@ ORDER BY custkey
 """
 
 
+def q53_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document-length quantiles (p25/p50/p75/p95)
+    via the histogram path (operators/stats.group_quantiles): one
+    groupBy shuffle with map-side partials builds the (lang, n_chars)
+    histogram; the cumulative scan + rank probe run over the histogram,
+    not the corpus. Discrete semantics (value at rank ceil(q*n)) with
+    identical integer arithmetic in the DuckDB oracle."""
+    from .operators.stats import group_quantiles
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        group_quantiles(docs, key="lang", value="n_chars", qs_milli=[250, 500, 750, 950])
+        .orderBy("lang", "q_milli")
+    )
+
+
+Q53_SQL = """
+WITH g AS (SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2),
+c AS (SELECT lang, n_chars, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+      FROM g),
+t AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+q AS (SELECT unnest([250, 500, 750, 950]) AS q_milli),
+r AS (SELECT t.lang, q.q_milli, (q.q_milli * t.n + 999) // 1000 AS rnk
+      FROM t CROSS JOIN q)
+SELECT r.lang, r.q_milli, c.n_chars AS value
+FROM r JOIN c ON c.lang = r.lang AND c.cum >= r.rnk AND c.cum - c.cnt < r.rnk
+ORDER BY r.lang, r.q_milli
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3009,6 +3040,7 @@ REGISTRY: dict[str, tuple] = {
     "q50_asof_join": (q50_asof_join, Q50_SQL),
     "q51_range_join": (q51_range_join, Q51_SQL),
     "q52_radius_join": (q52_radius_join, Q52_SQL),
+    "q53_group_quantiles": (q53_group_quantiles, Q53_SQL),
 }
 
 

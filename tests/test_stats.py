@@ -1,0 +1,50 @@
+"""group_quantiles: discrete-rank semantics pinned on hand-built groups.
+
+The certified q53 entry checks the operator against the identical
+integer formulation in DuckDB; here we pin the edges: tie-heavy
+histograms, rank-1 and rank-n selection, single-element groups, and the
+qs validation contract.
+"""
+
+import pytest
+
+from pvt_spark.operators.stats import group_quantiles
+
+
+def _run(spark, rows, qs):
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = group_quantiles(df, key="k", value="v", qs_milli=qs)
+    return {(r["k"], r["q_milli"]): r["value"] for r in out.collect()}
+
+
+def test_quantiles_hand_computed(spark):
+    # group a: [1,2,3,4,5,6,7,8,9,10]; rank(ceil(q*n)): p250->3 (rank 3),
+    # p500->5, p750->8, p1000->10
+    rows = [("a", v) for v in range(1, 11)]
+    got = _run(spark, rows, [250, 500, 750, 1000])
+    assert got == {
+        ("a", 250): 3, ("a", 500): 5, ("a", 750): 8, ("a", 1000): 10
+    }
+
+
+def test_quantiles_tie_heavy_and_rank1(spark):
+    # [5,5,5,5,9]: n=5; p1 -> rank ceil(0.001*5)=1 -> 5; p500 -> rank 3 -> 5;
+    # p800 -> rank 4 -> 5; p801 -> rank ceil(4.005)=5 -> 9
+    rows = [("t", 5)] * 4 + [("t", 9)]
+    got = _run(spark, rows, [1, 500, 800, 801])
+    assert got == {("t", 1): 5, ("t", 500): 5, ("t", 800): 5, ("t", 801): 9}
+
+
+def test_quantiles_groups_independent_and_singleton(spark):
+    rows = [("a", 1), ("a", 100), ("b", 7)]
+    got = _run(spark, rows, [500, 1000])
+    assert got == {
+        ("a", 500): 1, ("a", 1000): 100, ("b", 500): 7, ("b", 1000): 7
+    }
+
+
+def test_quantiles_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    for bad in ([], [0], [1001]):
+        with pytest.raises(ValueError):
+            group_quantiles(df, key="k", value="v", qs_milli=bad)
