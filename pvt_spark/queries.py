@@ -2979,6 +2979,68 @@ ORDER BY r.lang, r.q_milli
 """
 
 
+_Q54_RECT = (
+    "conv(substring(md5(concat('{ax}', cast(p_partkey as string))), 1, 12), 16, 10)"
+)
+
+
+def q54_mbr_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBR overlap self-join over planted rectangles (PBSM banding +
+    reference-point dedup, operators/spatial.mbr_overlap_join): grid
+    cells of 65536, each rect explodes to its covered cells (bounded
+    fan-out), equi-join on the cell, closed-interval residual, pair
+    emitted only in the cell holding the intersection's lower-left
+    corner — exactly once, no distinct pass. Oracle: the quadratic
+    inequality self-join."""
+    from .operators.spatial import mbr_overlap_join
+
+    (part,) = load(spark, sf_dir, "part")
+    hx = _Q54_RECT.format(ax="x")
+    hy = _Q54_RECT.format(ax="y")
+    hw = "conv(substring(md5(concat('w', cast(p_partkey as string))), 1, 8), 16, 10)"
+    hh = "conv(substring(md5(concat('h', cast(p_partkey as string))), 1, 8), 16, 10)"
+    rects = part.select(
+        F.col("p_partkey").alias("id"),
+        F.expr(f"cast({hx} as bigint) % 2097152").alias("x_lo"),
+        F.expr(f"cast({hy} as bigint) % 2097152").alias("y_lo"),
+        F.expr(f"cast({hw} as bigint) % 80000 + 20000").alias("w"),
+        F.expr(f"cast({hh} as bigint) % 80000 + 20000").alias("h"),
+    ).select(
+        "id",
+        "x_lo",
+        "y_lo",
+        (F.col("x_lo") + F.col("w")).alias("x_hi"),
+        (F.col("y_lo") + F.col("h")).alias("y_hi"),
+    )
+    pairs = mbr_overlap_join(rects, rects, cell=65536, anti_reflexive=True)
+    return pairs.select(
+        "a_id",
+        "b_id",
+        ((F.col("ix_hi") - F.col("ix_lo") + 1) * (F.col("iy_hi") - F.col("iy_lo") + 1)).alias(
+            "overlap_area"
+        ),
+    ).orderBy("a_id", "b_id")
+
+
+Q54_SQL = """
+WITH r AS (SELECT p_partkey AS id,
+  ('0x' || substring(md5('x' || p_partkey::VARCHAR), 1, 12))::BIGINT % 2097152 AS x_lo,
+  ('0x' || substring(md5('y' || p_partkey::VARCHAR), 1, 12))::BIGINT % 2097152 AS y_lo,
+  20000 + ('0x' || substring(md5('w' || p_partkey::VARCHAR), 1, 8))::BIGINT % 80000 AS w,
+  20000 + ('0x' || substring(md5('h' || p_partkey::VARCHAR), 1, 8))::BIGINT % 80000 AS h
+  FROM part),
+rr AS (SELECT id, x_lo, y_lo, x_lo + w AS x_hi, y_lo + h AS y_hi FROM r)
+SELECT a.id AS a_id, b.id AS b_id,
+       (least(a.x_hi, b.x_hi) - greatest(a.x_lo, b.x_lo) + 1)
+     * (least(a.y_hi, b.y_hi) - greatest(a.y_lo, b.y_lo) + 1) AS overlap_area
+FROM rr a JOIN rr b
+  ON b.id > a.id
+ AND a.x_lo <= b.x_hi AND b.x_lo <= a.x_hi
+ AND a.y_lo <= b.y_hi AND b.y_lo <= a.y_hi
+ORDER BY a_id, b_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3041,6 +3103,7 @@ REGISTRY: dict[str, tuple] = {
     "q51_range_join": (q51_range_join, Q51_SQL),
     "q52_radius_join": (q52_radius_join, Q52_SQL),
     "q53_group_quantiles": (q53_group_quantiles, Q53_SQL),
+    "q54_mbr_overlap": (q54_mbr_overlap, Q54_SQL),
 }
 
 

@@ -1,0 +1,73 @@
+"""mbr_overlap_join: reference-point dedup semantics on hand-built rects.
+
+q54 certifies the operator against the quadratic oracle; here we pin
+the edges a random fixture may miss: pairs spanning many shared cells
+are emitted exactly once, closed-interval touching counts as overlap,
+bipartite (a != b) mode, and the intersection rectangle itself.
+"""
+
+import pytest
+
+from pvt_spark.operators.spatial import mbr_overlap_join
+
+SCHEMA = "id long, x_lo long, y_lo long, x_hi long, y_hi long"
+
+
+def _pairs(spark, ra, rb, cell, **kw):
+    a = spark.createDataFrame(ra, SCHEMA)
+    b = spark.createDataFrame(rb, SCHEMA)
+    out = mbr_overlap_join(a, b, cell=cell, **kw).collect()
+    return sorted((r["a_id"], r["b_id"]) for r in out), out
+
+
+def test_many_shared_cells_exactly_once(spark):
+    # two big rects sharing a 4x4 block of cells (cell=100): one output row
+    ra = [(1, 0, 0, 399, 399)]
+    rb = [(2, 50, 50, 449, 449)]
+    pairs, rows = _pairs(spark, ra, rb, cell=100)
+    assert pairs == [(1, 2)]
+    r = rows[0]
+    assert (r["ix_lo"], r["iy_lo"], r["ix_hi"], r["iy_hi"]) == (50, 50, 399, 399)
+
+
+def test_touching_edges_inclusive_and_disjoint_excluded(spark):
+    # b touches a's right edge exactly (closed intervals overlap at x=99);
+    # c is one unit away (disjoint)
+    ra = [(1, 0, 0, 99, 99)]
+    rb = [(2, 99, 0, 150, 99), (3, 101, 0, 150, 99)]
+    pairs, rows = _pairs(spark, ra, rb, cell=64)
+    assert pairs == [(1, 2)]
+    r = rows[0]
+    assert (r["ix_lo"], r["ix_hi"]) == (99, 99)
+
+
+def test_self_join_anti_reflexive_quadratic_parity(spark):
+    # dense clump of rects + one far away; compare to the quadratic answer
+    rects = [
+        (i, 13 * i % 500, 29 * i % 500, 13 * i % 500 + 120, 29 * i % 500 + 90)
+        for i in range(30)
+    ] + [(99, 100_000, 100_000, 100_100, 100_100)]
+    got, _ = _pairs(spark, rects, rects, cell=128, anti_reflexive=True)
+    expect = sorted(
+        (a[0], b[0])
+        for a in rects
+        for b in rects
+        if b[0] > a[0]
+        and a[1] <= b[3] and b[1] <= a[3]
+        and a[2] <= b[4] and b[2] <= a[4]
+    )
+    assert got == expect and len(got) == len(set(got)) and len(got) > 10
+
+
+def test_reference_cell_never_outside_either_rect(spark):
+    # regression shape: reference corner on an exact cell boundary
+    ra = [(1, 128, 128, 300, 300)]
+    rb = [(2, 128, 128, 200, 200)]
+    pairs, _ = _pairs(spark, ra, rb, cell=128)
+    assert pairs == [(1, 2)]
+
+
+def test_cell_validation(spark):
+    a = spark.createDataFrame([(1, 0, 0, 1, 1)], SCHEMA)
+    with pytest.raises(ValueError):
+        mbr_overlap_join(a, a, cell=0)
