@@ -269,6 +269,15 @@ def main() -> None:
             "q42_repetition_quality",
             # posting-fetch retrieval: BM25 top-k
             "q44_bm25_topk",
+            # temporal joins: as-of (union+window) and banded range join
+            "q50_asof_join",
+            "q51_range_join",
+            # spatial self-joins: tile-banded radius join, PBSM MBR overlap
+            "q52_radius_join",
+            "q54_mbr_overlap",
+            # histogram-path exact group quantiles; salted two-phase top-k
+            "q53_group_quantiles",
+            "q55_topk_per_group",
         ]
         for name in bench_queries:
             fn, _sql = REGISTRY[name]

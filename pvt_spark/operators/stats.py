@@ -72,3 +72,52 @@ def group_quantiles(
         .where((F.col("cum") >= F.col("rank")) & (F.col("cum") - F.col("cnt") < F.col("rank")))
         .select(key, "q_milli", F.col(value).alias("value"))
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    key: str,
+    order: str,
+    tie: str,
+    k: int,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Exact top-k rows per group by (``order`` DESC, ``tie`` ASC) —
+    without the per-group single-reducer that ``row_number() over
+    (partition by key)`` schedules at corpus scale.
+
+    Two-phase salted selection: phase 1 groups by (key, salt) — salt =
+    hash(tie) mod n_salts — and keeps each salted slice's local top-k
+    (collect_list buffers only that slice, ~group/n_salts rows); phase 2
+    merges the n_salts candidate lists per key (<= n_salts * k rows,
+    k-independent of the group size) and re-slices. Both aggregations
+    partial-combine map-side. A group's hottest path therefore buffers
+    O(group/n_salts) rows instead of streaming the whole group through
+    one task — pick n_salts ~ cluster parallelism for planet-hot keys.
+
+    ``order`` must be a non-minimal bigint (ranking uses the -order
+    ascending-struct-sort trick; LONG_MIN would overflow the negation).
+    ``tie`` must be unique within a group for a deterministic result.
+    Returns (key, rank, order, tie) with rank 1..k; groups smaller than
+    k emit all their rows.
+    """
+    if k <= 0 or n_salts <= 0:
+        raise ValueError("k and n_salts must be positive")
+    neg = (-F.col(order)).alias("_neg")
+    item = F.struct(neg, F.col(tie).alias("_tie"))
+    salt = F.pmod(F.hash(F.col(tie)), F.lit(int(n_salts)))
+    local = (
+        df.groupBy(F.col(key), salt.alias("_salt"))
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_part"))
+    )
+    merged = local.groupBy(key).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_part"))), 1, k).alias("_top")
+    )
+    return merged.select(
+        key, F.posexplode("_top").alias("_pos", "_item")
+    ).select(
+        key,
+        (F.col("_pos") + 1).alias("rank"),
+        (-F.col("_item._neg")).alias(order),
+        F.col("_item._tie").alias(tie),
+    )

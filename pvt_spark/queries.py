@@ -3041,6 +3041,33 @@ ORDER BY a_id, b_id
 """
 
 
+def q55_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 longest documents per language via the salted
+    two-phase selection (operators/stats.topk_per_group): per-(lang,
+    salt) local top-k, then a k*n_salts-bounded merge — no per-language
+    single-reducer window over raw rows. Oracle: the plain row_number
+    formulation, certifying the salted plan selects the identical rows
+    and ranks."""
+    from .operators.stats import topk_per_group
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        topk_per_group(docs, key="lang", order="n_chars", tie="doc_id", k=5)
+        .orderBy("lang", "rank")
+    )
+
+
+Q55_SQL = """
+WITH r AS (
+  SELECT lang, n_chars, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents)
+SELECT lang, rank, n_chars, doc_id FROM r WHERE rank <= 5
+ORDER BY lang, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3104,6 +3131,7 @@ REGISTRY: dict[str, tuple] = {
     "q52_radius_join": (q52_radius_join, Q52_SQL),
     "q53_group_quantiles": (q53_group_quantiles, Q53_SQL),
     "q54_mbr_overlap": (q54_mbr_overlap, Q54_SQL),
+    "q55_topk_per_group": (q55_topk_per_group, Q55_SQL),
 }
 
 

@@ -518,3 +518,37 @@ def test_radius_join_rejects_unsound_zoom(spark):
     with pytest.raises(ValueError):
         # tile edge at zoom 20 is 4096 < radius 5000: ring-1 incomplete
         radius_join_per_tile(pts, qs, radius=5000, zoom=20, grid_cols=("gx", "gy"))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40_000), st.integers(0, 40_000)),
+        min_size=2,
+        max_size=40,
+    ),
+    st.sampled_from([1_000, 3_000, 10_000]),
+)
+def test_radius_join_matches_quadratic(spark, coords, r):
+    from pvt_spark.operators.knn import radius_join_per_tile
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(coords)]
+    pts = _grid_points(spark, rows)
+    qs = _grid_points(spark, rows, id_name="query_id")
+    got = sorted(
+        (row["query_id"], row["neighbor_id"], row["d2"])
+        for row in radius_join_per_tile(
+            pts, qs, radius=r, grid_cols=("gx", "gy"), exclude_self=True
+        ).collect()
+    )
+    expect = sorted(
+        (a, b, (xa - xb) ** 2 + (ya - yb) ** 2)
+        for (a, xa, ya) in rows
+        for (b, xb, yb) in rows
+        if a != b and (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
+    )
+    assert got == expect

@@ -71,3 +71,39 @@ def test_cell_validation(spark):
     a = spark.createDataFrame([(1, 0, 0, 1, 1)], SCHEMA)
     with pytest.raises(ValueError):
         mbr_overlap_join(a, a, cell=0)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2000),  # x_lo
+            st.integers(0, 2000),  # y_lo
+            st.integers(0, 700),   # width
+            st.integers(0, 700),   # height
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    st.sampled_from([64, 100, 333, 1024]),
+)
+def test_mbr_overlap_matches_quadratic(spark, raw, cell):
+    rects = [(i, x, y, x + w, y + h) for i, (x, y, w, h) in enumerate(raw)]
+    df = spark.createDataFrame(rects, SCHEMA)
+    got = sorted(
+        (r["a_id"], r["b_id"], r["ix_lo"], r["iy_lo"], r["ix_hi"], r["iy_hi"])
+        for r in mbr_overlap_join(df, df, cell=cell, anti_reflexive=True).collect()
+    )
+    expect = sorted(
+        (a[0], b[0], max(a[1], b[1]), max(a[2], b[2]), min(a[3], b[3]), min(a[4], b[4]))
+        for a in rects
+        for b in rects
+        if b[0] > a[0]
+        and a[1] <= b[3] and b[1] <= a[3]
+        and a[2] <= b[4] and b[2] <= a[4]
+    )
+    assert got == expect

@@ -48,3 +48,57 @@ def test_quantiles_validation(spark):
     for bad in ([], [0], [1001]):
         with pytest.raises(ValueError):
             group_quantiles(df, key="k", value="v", qs_milli=bad)
+
+
+def test_topk_hand_computed_with_ties_and_small_groups(spark):
+    from pvt_spark.operators.stats import topk_per_group
+
+    rows = [
+        ("a", 10, 1), ("a", 10, 2), ("a", 9, 3), ("a", 11, 4),
+        ("b", 5, 7),  # group smaller than k
+    ]
+    df = spark.createDataFrame(rows, "k string, v long, id long")
+    got = sorted(
+        (r["k"], r["rank"], r["v"], r["id"])
+        for r in topk_per_group(df, key="k", order="v", tie="id", k=3).collect()
+    )
+    # a: v DESC, id ASC -> (11,4), (10,1), (10,2); b: all 1 row
+    assert got == [
+        ("a", 1, 11, 4), ("a", 2, 10, 1), ("a", 3, 10, 2), ("b", 1, 5, 7)
+    ]
+
+
+def test_topk_salted_matches_window_on_hot_group(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pvt_spark.operators.stats import topk_per_group
+
+    # one hot group (1000 rows over many salts) + negatives in play
+    df = spark.range(1000).select(
+        F.lit("hot").alias("k"),
+        ((F.col("id") * 37) % 101 - 50).alias("v"),
+        F.col("id").alias("id"),
+    )
+    got = sorted(
+        (r["rank"], r["v"], r["id"])
+        for r in topk_per_group(df, key="k", order="v", tie="id", k=7).collect()
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("v"), F.asc("id"))
+    exp = sorted(
+        (r["rank"], r["v"], r["id"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 7)
+        .collect()
+    )
+    assert got == exp
+
+
+def test_topk_validation(spark):
+    import pytest
+
+    from pvt_spark.operators.stats import topk_per_group
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, v long, id long")
+    with pytest.raises(ValueError):
+        topk_per_group(df, key="k", order="v", tie="id", k=0)
