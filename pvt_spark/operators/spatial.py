@@ -81,8 +81,11 @@ def mbr_overlap_join(
     )
     rx = F.greatest("a_x_lo", "b_x_lo")
     ry = F.greatest("a_y_lo", "b_y_lo")
-    c = F.lit(int(cell))
-    reference = (F.col("cx") == F.floor(rx / c)) & (F.col("cy") == F.floor(ry / c))
+    # integer div, matching _cells: double division would round for
+    # coordinates at/above 2^53 and silently drop the pair
+    reference = (
+        F.col("cx") == F.expr(f"greatest(a_x_lo, b_x_lo) div {int(cell)}")
+    ) & (F.col("cy") == F.expr(f"greatest(a_y_lo, b_y_lo) div {int(cell)}"))
     out = joined.where(overlap & reference)
     if anti_reflexive:
         out = out.where(F.col("b_id") > F.col("a_id"))

@@ -46,10 +46,16 @@ def group_quantiles(
 
     Returns (key, q_milli, value) — one row per (group, requested
     quantile), value = the group's element at rank ceil(q*n) ascending.
-    ``qs_milli`` entries must be in [1, 1000].
+    ``qs_milli`` entries must be in [1, 1000]. NULL values are excluded
+    (SQL aggregate convention): they count toward no rank and are never
+    returned; a group whose values are all NULL produces no rows.
     """
     if not qs_milli or any(not (1 <= q <= 1000) for q in qs_milli):
         raise ValueError("qs_milli must be non-empty, each in [1, 1000]")
+    # quantiles are over NON-NULL values (SQL aggregate convention);
+    # keeping NULLs would both count them in n and sort them first
+    # (Spark ASC = NULLS FIRST), silently returning NULL for low ranks
+    df = df.where(F.col(value).isNotNull())
     hist = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("cnt"))
     w = (
         Window.partitionBy(key)
@@ -57,7 +63,9 @@ def group_quantiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("cum", F.sum("cnt").over(w))
-    totals = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    # group totals come from the histogram, not a second corpus scan —
+    # the input is read and shuffled exactly once (the histogram groupBy)
+    totals = hist.groupBy(key).agg(F.sum("cnt").alias("n"))
     qdf = totals.sparkSession.createDataFrame(
         [(int(q),) for q in sorted(set(qs_milli))], "q_milli long"
     )

@@ -53,7 +53,9 @@ def asof_join(
     arrive packed through one struct so all of them come from the SAME
     matched row even if individually null. Left columns pass through
     unchanged; matched columns are null where no right row qualifies
-    (or the match is older than ``tolerance_us``).
+    (or the match is older than ``tolerance_us``). NULL join keys follow
+    SQL equi-join semantics: they never match — NULL-keyed left rows
+    come back unmatched, NULL-keyed right rows match nothing.
     """
     payload = F.struct(
         F.col(right_ts).alias("__ts"),
@@ -61,6 +63,13 @@ def asof_join(
         *[F.col(c).alias(c) for c in right_cols],
     )
     left_rest = [c for c in left.columns if c not in on]
+    # SQL equi-join semantics: a NULL key never matches. The window
+    # partition would otherwise group NULL keys together and match
+    # across them — drop NULL-keyed right rows (inert under SQL
+    # semantics); NULL-keyed left rows pass through unmatched because
+    # their partition then contains no payload to carry.
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     r = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ots"),

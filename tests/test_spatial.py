@@ -107,3 +107,16 @@ def test_mbr_overlap_matches_quadratic(spark, raw, cell):
         and a[2] <= b[4] and b[2] <= a[4]
     )
     assert got == expect
+
+
+def test_huge_coordinates_beyond_double_precision(spark):
+    # coordinates above 2^53: float division would misplace the reference
+    # cell and silently drop the pair; integer div must keep it
+    base = (1 << 53) + 12345
+    cell = 1 << 40
+    ra = [(1, base, base, base + 2 * cell, base + 2 * cell)]
+    rb = [(2, base + cell, base + cell, base + 3 * cell, base + 3 * cell)]
+    pairs, rows = _pairs(spark, ra, rb, cell=cell)
+    assert pairs == [(1, 2)]
+    r = rows[0]
+    assert (r["ix_lo"], r["iy_lo"]) == (base + cell, base + cell)

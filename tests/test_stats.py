@@ -102,3 +102,17 @@ def test_topk_validation(spark):
     df = spark.createDataFrame([("a", 1, 1)], "k string, v long, id long")
     with pytest.raises(ValueError):
         topk_per_group(df, key="k", order="v", tie="id", k=0)
+
+
+def test_quantiles_nulls_excluded(spark):
+    from pyspark.sql import Row
+
+    # [NULL, NULL, 5, 9]: n counts only non-null -> n=2; p250 -> rank 1 -> 5;
+    # p1000 -> rank 2 -> 9; an all-NULL group emits nothing
+    df = spark.createDataFrame(
+        [Row(k="a", v=None), Row(k="a", v=None), Row(k="a", v=5), Row(k="a", v=9),
+         Row(k="b", v=None)]
+    )
+    out = group_quantiles(df, key="k", value="v", qs_milli=[250, 1000])
+    got = {(r["k"], r["q_milli"]): r["value"] for r in out.collect()}
+    assert got == {("a", 250): 5, ("a", 1000): 9}

@@ -118,3 +118,22 @@ def test_range_join_key_isolation_and_short_interval(spark):
         band_us=1000,
     )
     assert pairs == [(7, 1)]
+
+
+def test_asof_null_keys_never_match(spark):
+    from pyspark.sql import Row
+
+    left = spark.createDataFrame(
+        [Row(k=None, lid=10, lus=100), Row(k=1, lid=11, lus=100)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=None, rid=1, rus=50, val="nullkey"), Row(k=1, rid=2, rus=50, val="ok")]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lus", right_ts="rus",
+        right_cols=["rid", "val"], tie="rid",
+    )
+    rows = {r["lid"]: r for r in out.collect()}
+    # SQL equi-join semantics: NULL keys never match, in either direction
+    assert rows[10]["matched_rid"] is None and rows[10]["matched_val"] is None
+    assert rows[11]["matched_rid"] == 2 and rows[11]["matched_val"] == "ok"
