@@ -552,3 +552,15 @@ def test_radius_join_matches_quadratic(spark, coords, r):
         if a != b and (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
     )
     assert got == expect
+
+
+def test_plan_shape_radius_join_no_broadcast_hint(spark):
+    """q52's probe side must not be broadcast-hinted (both sides of a
+    radius self-join are corpus-sized) and must not nested-loop."""
+    from pvt_spark.queries import q52_radius_join
+
+    df = q52_radius_join(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in lp

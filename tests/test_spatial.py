@@ -120,3 +120,15 @@ def test_huge_coordinates_beyond_double_precision(spark):
     assert pairs == [(1, 2)]
     r = rows[0]
     assert (r["ix_lo"], r["iy_lo"]) == (base + cell, base + cell)
+
+
+def test_plan_shape_mbr_no_nested_loop(spark):
+    """q54's cell banding must compile to an equi-join with no nested
+    loop and no forced broadcast hint (both sides corpus-sized)."""
+    from pvt_spark.queries import q54_mbr_overlap
+
+    df = q54_mbr_overlap(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in lp

@@ -116,3 +116,24 @@ def test_quantiles_nulls_excluded(spark):
     out = group_quantiles(df, key="k", value="v", qs_milli=[250, 1000])
     got = {(r["k"], r["q_milli"]): r["value"] for r in out.collect()}
     assert got == {("a", 250): 5, ("a", 1000): 9}
+
+
+def test_plan_shapes_quantiles_and_topk(spark):
+    """Scale-shape pins: q53's window must scan the histogram aggregate
+    (no raw-row row_number anywhere); q55 must compile to salted
+    aggregates with NO window at all."""
+    from pvt_spark.queries import q53_group_quantiles, q55_topk_per_group
+
+    p53 = (
+        q53_group_quantiles(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "row_number" not in p53
+    iwin = p53.find("Window")
+    assert iwin != -1 and p53.find("HashAggregate", iwin) != -1
+
+    p55 = (
+        q55_topk_per_group(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in p55 and "row_number" not in p55

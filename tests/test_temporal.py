@@ -137,3 +137,23 @@ def test_asof_null_keys_never_match(spark):
     # SQL equi-join semantics: NULL keys never match, in either direction
     assert rows[10]["matched_rid"] is None and rows[10]["matched_val"] is None
     assert rows[11]["matched_rid"] == 2 and rows[11]["matched_val"] == "ok"
+
+
+def test_plan_shapes_temporal(spark):
+    """Scale-shape pins: q50 is one window plan with no nested-loop join;
+    q51's banding compiles to an equi-join, never a nested loop."""
+    from pvt_spark.queries import q50_asof_join, q51_range_join
+
+    p50 = (
+        q50_asof_join(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in p50 and "CartesianProduct" not in p50
+    assert "Window" in p50
+
+    p51 = (
+        q51_range_join(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in p51 and "CartesianProduct" not in p51
+    assert any(j in p51 for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
