@@ -3068,6 +3068,94 @@ ORDER BY lang, rank
 """
 
 
+def q56_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING as-of join, value-certified: purchases/clicks from
+    the events table replay as a tagged file stream through
+    streaming/asof.asof_join_stream (availableNow, checkpointed), then a
+    clock row far past every event advances the watermark so every left
+    row finalizes. The emitted set is then exactly the batch as-of
+    answer — so the independent quadratic SQL oracle certifies the
+    stateful streaming operator itself (watermark emission, state
+    carry-over, right-buffer eviction with floor)."""
+    import shutil
+    import tempfile
+
+    from .streaming.asof import asof_join_stream
+
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    tagged = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        F.col("user_id").cast("string").alias("key"),
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(0).alias("tag"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("id"),
+    )
+    root = tempfile.mkdtemp(prefix="pvt_q56_")
+    try:
+        src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
+        tagged.write.mode("overwrite").parquet(src)
+
+        def run_once():
+            s = spark.readStream.schema(
+                "key string, tag int, ts timestamp, id long"
+            ).parquet(src)
+            q = (
+                asof_join_stream(s, watermark="24 hours")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()  # ingest; everything pends behind the watermark
+        clock_us = ev.agg(F.max("us")).collect()[0][0] + 365 * 86_400_000_000
+        spark.createDataFrame(
+            [("__clock__", 0, clock_us)], "key string, tag int, us long"
+        ).select(
+            "key", "tag", F.timestamp_micros(F.col("us")).alias("ts"),
+            F.lit(0).cast("long").alias("id"),
+        ).write.mode("append").parquet(src)
+        run_once()  # watermark passes every real event: all lefts finalize
+        got = spark.read.parquet(out).where(F.col("key") != "__clock__")
+        return (
+            got.select(
+                F.col("left_id").alias("purchase_id"),
+                F.col("key").cast("long").alias("user_id"),
+                F.col("left_us").alias("purchase_us"),
+                F.col("matched_tie").alias("click_id"),
+                F.col("matched_us").alias("click_us"),
+            )
+            .orderBy("purchase_id")
+            .localCheckpoint(eager=True)  # survive the tmpdir cleanup below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q56_SQL = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_id, c.cus,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.cus DESC, c.click_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.cus <= p.purchase_us)
+SELECT purchase_id, user_id, purchase_us,
+       click_id, cus AS click_us
+FROM m WHERE rn = 1
+UNION ALL
+SELECT purchase_id, user_id, purchase_us,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM m)
+ORDER BY purchase_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3132,6 +3220,7 @@ REGISTRY: dict[str, tuple] = {
     "q53_group_quantiles": (q53_group_quantiles, Q53_SQL),
     "q54_mbr_overlap": (q54_mbr_overlap, Q54_SQL),
     "q55_topk_per_group": (q55_topk_per_group, Q55_SQL),
+    "q56_streaming_asof": (q56_streaming_asof, Q56_SQL),
 }
 
 
