@@ -3111,7 +3111,8 @@ def q56_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
 
         run_once()  # ingest; everything pends behind the watermark
-        clock_us = ev.agg(F.max("us")).collect()[0][0] + 365 * 86_400_000_000
+        max_us = ev.agg(F.max("us")).collect()[0][0]
+        clock_us = (max_us if max_us is not None else 0) + 365 * 86_400_000_000
         spark.createDataFrame(
             [("__clock__", 0, clock_us)], "key string, tag int, us long"
         ).select(
@@ -3119,7 +3120,9 @@ def q56_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("id"),
         ).write.mode("append").parquet(src)
         run_once()  # watermark passes every real event: all lefts finalize
-        got = spark.read.parquet(out).where(F.col("key") != "__clock__")
+        # null-safe: a NULL-keyed left (never in this fixture, but part of
+        # the operator contract) must not be silently dropped here
+        got = spark.read.parquet(out).where(~F.col("key").eqNullSafe("__clock__"))
         return (
             got.select(
                 F.col("left_id").alias("purchase_id"),

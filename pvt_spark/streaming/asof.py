@@ -16,7 +16,11 @@ arrive. This operator makes that precise with the watermark:
   with no tolerance it additionally keeps the single newest evicted
   row (the "floor") because that row is the match for any future left
   until a newer right arrives. State is therefore bounded by the
-  in-flight (above-watermark) rows per key plus at most one floor row.
+  in-flight (above-watermark) rows per key plus at most one floor row;
+  keys left holding retirable rows re-arm an event-time timeout at the
+  instant their oldest right crosses the horizon, so idle keys shrink
+  to the floor (or to nothing, in tolerance mode) as the watermark
+  advances — no key needs fresh data to release state.
 
 Emission matches the batch semantics exactly: latest right with
 right_ts <= left_ts (ties to the largest tie id), NULL when nothing
@@ -89,53 +93,74 @@ def asof_join_stream(
         wm_us = wm_ms * 1000
         # rights sorted by (ts, tie): the match scan and the floor pick
         # both want that order
-        order = np.lexsort((np.array(r_tie, np.int64), np.array(r_ts, np.int64))) if r_ts else []
-        r_ts = [r_ts[j] for j in order]
-        r_tie = [r_tie[j] for j in order]
-        out_rows = []
-        keep_l_ts, keep_l_id = [], []
-        for lt, li in zip(l_ts, l_id):
-            if lt < wm_us:
-                # final: no future right can have ts <= lt
-                m_tie = m_ts = None
-                for rt, ri in zip(r_ts, r_tie):
-                    if rt <= lt and (tol is None or rt >= lt - tol):
-                        m_tie, m_ts = ri, rt
-                    elif rt > lt:
-                        break
-                out_rows.append((li, lt, m_tie, m_ts))
+        r_ts = np.array(r_ts, np.int64)
+        r_tie = np.array(r_tie, np.int64)
+        order = np.lexsort((r_tie, r_ts))  # (ts, tie) ascending: match scan + floor
+        r_ts = r_ts[order]
+        r_tie = r_tie[order]
+        l_ts = np.array(l_ts, np.int64)
+        l_id = np.array(l_id, np.int64)
+        # final lefts: no future right can have ts <= lt once wm passed lt
+        fin = l_ts < wm_us
+        keep_l_ts = l_ts[~fin].tolist()
+        keep_l_id = l_id[~fin].tolist()
+        out = None
+        if fin.any():
+            flt = l_ts[fin]
+            if len(r_ts):
+                # vectorized backward match: last right at-or-before each
+                # left; equal-ts rights are tie-ascending so the last one
+                # wins ties
+                j = np.searchsorted(r_ts, flt, side="right") - 1
+                ok = j >= 0
+                jj = np.clip(j, 0, len(r_ts) - 1)
+                if tol is not None:
+                    ok &= r_ts[jj] >= flt - tol
+                m_ts = np.where(ok, r_ts[jj], 0)
+                m_tie = np.where(ok, r_tie[jj], 0)
             else:
-                keep_l_ts.append(lt)
-                keep_l_id.append(li)
+                ok = np.zeros(len(flt), bool)
+                m_ts = m_tie = np.zeros(len(flt), np.int64)
+            out = pd.DataFrame(
+                {
+                    "key": [key[0]] * len(flt),
+                    "left_id": l_id[fin],
+                    "left_us": flt,
+                    "matched_tie": pd.array(
+                        [int(t) if o else None for t, o in zip(m_tie, ok)],
+                        dtype="Int64",
+                    ),
+                    "matched_us": pd.array(
+                        [int(t) if o else None for t, o in zip(m_ts, ok)],
+                        dtype="Int64",
+                    ),
+                }
+            )
         # evict rights the watermark has retired; keep the newest evicted
         # one as the floor when lookback is unbounded
         horizon = wm_us - (tol if tol is not None else 0)
-        idx = [j for j, rt in enumerate(r_ts) if rt >= horizon]
-        if tol is None:
-            older = [j for j, rt in enumerate(r_ts) if rt < horizon]
-            if older:
-                idx = [older[-1]] + idx  # sorted order puts the newest last
-        r_ts = [r_ts[j] for j in idx]
-        r_tie = [r_tie[j] for j in idx]
+        cut = int(np.searchsorted(r_ts, horizon, side="left"))
+        keep_from = cut if tol is not None or cut == 0 else cut - 1  # floor row
+        r_ts = r_ts[keep_from:].tolist()
+        r_tie = r_tie[keep_from:].tolist()
         if keep_l_ts or r_ts:
             state.update((keep_l_ts, keep_l_id, r_ts, r_tie))
-            if keep_l_ts:
-                # re-examine as soon as the watermark can pass a pending left
-                state.setTimeoutTimestamp(
-                    max(min(keep_l_ts) // 1000 + 1, wm_ms + 1)
-                )
+            # earliest instant the watermark can make a pending left final
+            # (timeout T fires when wm > T, so T = lt_ms suffices) ...
+            cands = [min(keep_l_ts) // 1000] if keep_l_ts else []
+            # ... or retire more rights: in tolerance mode the oldest right
+            # dies at r_ts[0] + tol; in floor mode r_ts[0] dies once the
+            # watermark passes r_ts[1] (a newer floor takes over)
+            if tol is not None and r_ts:
+                cands.append(r_ts[0] // 1000 + tol // 1000 + 1)
+            elif tol is None and len(r_ts) > 1:
+                cands.append(r_ts[1] // 1000)
+            if cands:
+                state.setTimeoutTimestamp(max(min(cands), wm_ms + 1))
         elif state.exists:
             state.remove()
-        if out_rows:
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]] * len(out_rows),
-                    "left_id": [r[0] for r in out_rows],
-                    "left_us": [r[1] for r in out_rows],
-                    "matched_tie": [r[2] for r in out_rows],
-                    "matched_us": [r[3] for r in out_rows],
-                }
-            )
+        if out is not None:
+            yield out
 
     def fn(
         key: Tuple[str],
@@ -146,6 +171,11 @@ def asof_join_stream(
             yield from _emit(key, state, [], [])
             return
         rows = pd.concat(list(pdfs))
+        if rows[["tag", "ts", "id"]].isnull().any().any():
+            raise ValueError(
+                "asof_join_stream: tag/ts/id must be non-null "
+                "(contract: tag in {0, 1}, id is the row/tie id)"
+            )
         us = rows["ts"].astype("int64").floordiv(1000).to_numpy()
         tags = rows["tag"].to_numpy()
         ids = rows["id"].to_numpy()
@@ -153,12 +183,26 @@ def asof_join_stream(
         new_r = [(int(t), int(i)) for t, g, i in zip(us, tags, ids) if g == 0]
         yield from _emit(key, state, new_l, new_r)
 
+    # event micros inside the pandas UDF come from session-timezone-naive
+    # timestamps, while getCurrentWatermarkMs() is true UTC epoch — the
+    # finality comparison is only sound when the session clock IS UTC
+    tz = tagged.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            f"asof_join_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): event-time vs watermark comparison would be "
+            f"offset by the session zone"
+        )
     keyed = tagged.withWatermark("ts", watermark).select(
         F.col("key").cast("string").alias("key"),
         F.col("tag").cast("int").alias("tag"),
         F.col("ts"),
         F.col("id").cast("long").alias("id"),
     )
+    # SQL equi-join semantics (same contract as operators/temporal):
+    # NULL-keyed right rows can never match — drop them; NULL-keyed left
+    # rows pass through and emit unmatched from their own NULL group
+    keyed = keyed.where((F.col("tag") == 1) | F.col("key").isNotNull())
     return keyed.groupBy("key").applyInPandasWithState(
         fn,
         ASOF_SCHEMA,
