@@ -278,6 +278,9 @@ def main() -> None:
             # histogram-path exact group quantiles; salted two-phase top-k
             "q53_group_quantiles",
             "q55_topk_per_group",
+            # stateful streaming: as-of over a checkpointed availableNow
+            # replay (two runs + watermark flush inside the query)
+            "q56_streaming_asof",
         ]
         for name in bench_queries:
             fn, _sql = REGISTRY[name]
