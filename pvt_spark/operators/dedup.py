@@ -203,3 +203,76 @@ def dedup_groups(
         "group_size",
         (F.col("doc_id") == F.col("group_id")).cast("int").alias("is_canonical"),
     )
+
+
+def mutual_nearest_pairs(
+    vectors: DataFrame,
+    group: str,
+    id_col: str = "vec_id",
+    vec_col: str = "qv",
+) -> DataFrame:
+    """Reciprocal (mutual) nearest neighbors within each group under
+    EXACT integer squared-L2 — the D4/SemDeDup-family dedup primitive:
+    a pair survives only if each vector is the other's top-1 neighbor.
+
+    ``vectors``: (group, id_col, vec_col) with vec_col an
+    ``array<bigint>`` (quantize floats upstream — scale-1000 keeps the
+    distance in int64 for unit-norm embeddings). Directed NN = one
+    group-equi self-join plus a per-vector top-1 window (ties to the
+    smallest neighbor id); mutual pairs = the NN table joined against
+    its own reverse. The quadratic work is GROUP-BOUNDED: ``group``
+    must come from an upstream partitioner (IVF cell, LSH bucket,
+    cluster label) that keeps groups ~sqrt(N)-sized — the same
+    contract as semantic_dedup; the join shuffles on the group key and
+    AQE splits hot groups. Distance stays in JVM whole-stage codegen
+    (zip_with + aggregate HOFs, no Python).
+
+    Output: (group, a_id, b_id, d2) with a_id < b_id, one row per
+    mutual pair. Vectors in singleton groups produce nothing.
+    """
+    a = vectors.select(
+        F.col(group).alias("_g"),
+        F.col(id_col).alias("_aid"),
+        F.col(vec_col).alias("_av"),
+    )
+    b = vectors.select(
+        F.col(group).alias("_g"),
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_bv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("_av", "_bv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_g", "_aid").orderBy("d2", "_bid")
+    nn = (
+        a.join(b, "_g")
+        .where(F.col("_aid") != F.col("_bid"))
+        .withColumn("d2", d2)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("_g", "_aid", "_bid", "d2")
+    )
+    rev = nn.select(
+        F.col("_g").alias("_g2"),
+        F.col("_aid").alias("_raid"),
+        F.col("_bid").alias("_rbid"),
+    )
+    return (
+        nn.join(
+            rev,
+            (F.col("_g") == F.col("_g2"))
+            & (F.col("_aid") == F.col("_rbid"))
+            & (F.col("_bid") == F.col("_raid")),
+        )
+        .where(F.col("_aid") < F.col("_bid"))
+        .select(
+            F.col("_g").alias(group),
+            F.col("_aid").alias("a_id"),
+            F.col("_bid").alias("b_id"),
+            "d2",
+        )
+    )

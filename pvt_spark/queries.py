@@ -3159,6 +3159,49 @@ ORDER BY purchase_id
 """
 
 
+def q57_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mutual (reciprocal) nearest neighbors — the D4/SemDeDup
+    family's pairing primitive — through the production operator
+    (operators/dedup.mutual_nearest_pairs): embeddings quantized to
+    integer milli (the q39-certified idiom), per-label top-1 under
+    exact integer squared-L2 (ties to the smallest id), pair kept only
+    if reciprocal. The oracle recomputes the whole ladder quadratically
+    in DuckDB."""
+    from .operators.dedup import mutual_nearest_pairs
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = "transform(embedding, e -> cast(round(e * 1000) as bigint))"
+    vecs = emb.select("label", "vec_id", F.expr(q).alias("qv"))
+    return (
+        mutual_nearest_pairs(vecs, group="label")
+        .select("label", "a_id", "b_id", "d2")
+        .orderBy("label", "a_id")
+    )
+
+
+Q57_SQL = """
+WITH v AS (
+  SELECT label, vec_id,
+         list_transform(embedding, e -> CAST(round(e * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+pairs AS (
+  SELECT a.label, a.vec_id AS aid, b.vec_id AS bid,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT) AS d2
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
+nn AS (
+  SELECT label, aid, bid, d2,
+         row_number() OVER (PARTITION BY label, aid ORDER BY d2, bid) AS rk
+  FROM pairs)
+SELECT n1.label AS label, n1.aid AS a_id, n1.bid AS b_id, n1.d2
+FROM nn n1 JOIN nn n2
+  ON n1.label = n2.label AND n1.aid = n2.bid AND n1.bid = n2.aid
+ AND n1.rk = 1 AND n2.rk = 1
+WHERE n1.aid < n1.bid
+ORDER BY n1.label, n1.aid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3224,6 +3267,7 @@ REGISTRY: dict[str, tuple] = {
     "q54_mbr_overlap": (q54_mbr_overlap, Q54_SQL),
     "q55_topk_per_group": (q55_topk_per_group, Q55_SQL),
     "q56_streaming_asof": (q56_streaming_asof, Q56_SQL),
+    "q57_mutual_nn": (q57_mutual_nn, Q57_SQL),
 }
 
 

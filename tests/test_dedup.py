@@ -176,3 +176,31 @@ def test_q48_host_rank(spark, sf_dir):
     # teleport floor; damped inflow keeps ranks bounded and non-degenerate
     assert all(r.rank_milli >= 150 for r in rows)
     assert len({r.rank_milli for r in rows}) > 1
+
+
+def test_mutual_nearest_pairs_semantics(spark):
+    """Hand-built geometry: reciprocity required, ties to smallest id,
+    groups isolated, singletons silent."""
+    from pvt_spark.operators.dedup import mutual_nearest_pairs
+
+    rows = [
+        # group g1 on a line: a(0), b(10), c(25).
+        # NN(a)=b, NN(b)=a (10 < 15), NN(c)=b — (a,b) mutual; (b,c) not.
+        ("g1", 1, [0, 0]),
+        ("g1", 2, [10, 0]),
+        ("g1", 3, [25, 0]),
+        # group g2: d and e equidistant twins of f -> NN(f) ties, smallest
+        # id (4) wins; NN(d)=e? d(0) e(2) f(1): d->f (1<2), e->f, f->d (tie
+        # d=4,e=5 -> 4). So (d,f) mutual only.
+        ("g2", 4, [0, 0]),
+        ("g2", 5, [2, 0]),
+        ("g2", 6, [1, 0]),
+        # group g3: singleton -> nothing
+        ("g3", 7, [0, 0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, vec_id long, qv array<long>")
+    got = sorted(
+        (r["label"], r["a_id"], r["b_id"], r["d2"])
+        for r in mutual_nearest_pairs(df, group="label").collect()
+    )
+    assert got == [("g1", 1, 2, 100), ("g2", 4, 6, 1)]
