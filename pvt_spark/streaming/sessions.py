@@ -1,5 +1,5 @@
 """Custom stateful streaming operator: gap-based sessionization via
-``applyInPandasWithState`` (event-time timeout).
+``applyInPandasWithState`` (event-time timeout), watermark-final.
 
 The batch engine sessionizes with lag + cumulative flag sum (q08); a
 stream cannot, because a session is only known CLOSED once the
@@ -8,21 +8,26 @@ custom stateful operator (reference analog: the reference has no
 streaming surface at all — SURVEY §2.9; this extends the engine the
 way Structured Streaming intends):
 
-- per-key state = the one OPEN session's (start, end, count), microsec
-  precision;
-- each micro-batch merges its (event-time-sorted) rows into state;
-  any in-batch gap > ``gap_sec`` closes the older session and emits it
-  right there;
-- the still-open session re-arms an event-time timeout at
-  ``end + gap``; when the watermark crosses that, the timed-out
-  callback emits it exactly once and clears state.
+- per-key state = ALL not-yet-final sessions as (start, end, count)
+  interval triples, microsec precision;
+- each micro-batch interval-merges its rows into the buffer: an event
+  within ``gap`` of a buffered session extends it (min-updating
+  session_start for earlier-timestamped arrivals) and may BRIDGE two
+  buffered sessions into one — so out-of-order events that land in a
+  later micro-batch but above the watermark still produce exactly the
+  batch (q08) sessions;
+- a session is emitted exactly when the event-time watermark passes
+  ``session_end + gap``: only then can no admissible event (every
+  accepted event has ts >= watermark) still extend or bridge it — the
+  same watermark-finality discipline streaming/asof.py uses. In-batch
+  gaps alone never emit.
 
-Scale shape (100 TB of crawl events): state is O(open keys) and
-bounded by watermark eviction; each micro-batch shuffles only its own
-rows, hash-partitioned by key — the same exchange any streaming
-aggregation pays; the per-group work is Arrow-batched pandas, no
-per-row Python. Emission is append-mode and exactly-once under the
-checkpoint (sink dedup by (key, session_start)).
+Scale shape (100 TB of crawl events): state is O(sessions still inside
+the watermark horizon per key) and bounded by watermark eviction; each
+micro-batch shuffles only its own rows, hash-partitioned by key — the
+same exchange any streaming aggregation pays; the per-group work is
+Arrow-batched pandas, no per-row Python. Emission is append-mode and
+exactly-once under the checkpoint (sink dedup by (key, session_start)).
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -52,9 +58,9 @@ SESSION_SCHEMA = StructType(
 
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("end_us", LongType()),
-        StructField("n", LongType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("ends", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
 
@@ -68,10 +74,11 @@ def sessionize_stream(
 ) -> DataFrame:
     """events stream -> closed-session stream (append mode).
 
-    Emits (key, session_start, session_end, n_events) once per closed
-    session: either when a later in-batch event opens the next session,
-    or when the event-time watermark passes session_end + gap. Matches
-    q08's gap semantics (new session iff ts - prev_ts > gap_sec).
+    Emits (key, session_start, session_end, n_events) exactly once per
+    session, when the event-time watermark passes session_end + gap —
+    never earlier, so above-watermark out-of-order events can still
+    extend, bridge, or min-update buffered sessions. Matches q08's gap
+    semantics (new session iff ts - prev_ts > gap_sec).
     """
     gap_us = int(gap_sec) * 1_000_000
     gap_ms = int(gap_sec) * 1_000
@@ -95,10 +102,42 @@ def sessionize_stream(
                 }
             )
 
+        def split_final(sessions):
+            """Partition buffered sessions into (final, still-open) by
+            the CURRENT watermark; final = watermark passed end+gap."""
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            done = [s for s in sessions if s[1] + gap_us < wm_us]
+            keep = [s for s in sessions if s[1] + gap_us >= wm_us]
+            return done, keep
+
+        def settle(done, keep):
+            if keep:
+                state.update(
+                    (
+                        [s for s, _, _ in keep],
+                        [e for _, e, _ in keep],
+                        [n for _, _, n in keep],
+                    )
+                )
+                # fire when the watermark passes the OLDEST open
+                # session's end + gap; if the watermark already
+                # overtook that instant (burst after a quiet spell),
+                # the earliest legal timeout is just past it
+                state.setTimeoutTimestamp(
+                    max(
+                        min(e for _, e, _ in keep) // 1000 + gap_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+            else:
+                state.remove()
+
         if state.hasTimedOut:
-            s, e, n = state.get
-            state.remove()
-            yield out([(s, e, n)])
+            starts, ends, ns = state.get
+            done, keep = split_final(list(zip(starts, ends, ns)))
+            settle(done, keep)
+            if done:
+                yield out(done)
             return
 
         us = (
@@ -108,28 +147,28 @@ def sessionize_stream(
             .floordiv(1000)
             .to_numpy()
         )
-        sessions = []
         if state.exists:
-            cur = list(state.get)
+            starts, ends, ns = state.get
+            ivals = [[int(s), int(e), int(n)] for s, e, n in zip(starts, ends, ns)]
         else:
-            cur = None
-        for t in us:
-            t = int(t)
-            if cur is None:
-                cur = [t, t, 0]
-            elif t - cur[1] > gap_us:
-                sessions.append(tuple(cur))
-                cur = [t, t, 0]
-            cur[1] = max(cur[1], t)
-            cur[2] += 1
-        state.update(tuple(cur))
-        # close when the watermark passes end + gap; if the watermark
-        # already overtook that (burst after a long quiet spell), the
-        # earliest legal timeout is just past the current watermark
-        timeout_ms = max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
-        state.setTimeoutTimestamp(timeout_ms)
-        if sessions:
-            yield out(sessions)
+            ivals = []
+        # interval-merge: buffered sessions and new single-event
+        # intervals, sorted by start; gap-adjacent intervals coalesce
+        # (this is exactly event-level gap sessionization because every
+        # buffered interval already has all internal gaps <= gap)
+        ivals += [[int(t), int(t), 1] for t in us]
+        ivals.sort()
+        merged = []
+        for iv in ivals:
+            if merged and iv[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
+            else:
+                merged.append(iv)
+        done, keep = split_final([tuple(iv) for iv in merged])
+        settle(done, keep)
+        if done:
+            yield out(done)
 
     keyed = events.withWatermark(ts_col, watermark).select(
         F.col(key_col).cast("string").alias("key"), F.col(ts_col).alias("ts")

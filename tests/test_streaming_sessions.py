@@ -55,13 +55,15 @@ def test_sessionize_stream_gap_and_timeout_closure(spark, tmp_path):
 
     # run 1: a at 0/5/10 min (one open session), b at 0; in-batch
     # multi-session key d: 0 min and 90 min (gap > 30 min) -> d's first
-    # session closes IN this batch, no timeout needed
+    # session is gap-closed in-batch but NOT emitted: the watermark has
+    # not passed its end + gap yet, so a later above-watermark event
+    # could still extend it (watermark-finality discipline)
     _mk(spark, [("a", 0), ("a", 5), ("a", 10), ("b", 0), ("d", 0), ("d", 90)]).write.mode(
         "append"
     ).parquet(events_dir)
     _run(spark, events_dir, out_dir, ckpt)
     got = _read(spark, out_dir)
-    assert got == {("d", T0, T0, 1)}, got
+    assert got == set(), got
 
     # run 2: clock event at +185 min advances the watermark to +125;
     # availableNow then executes a trailing no-data micro-batch against
@@ -90,6 +92,50 @@ def test_sessionize_stream_gap_and_timeout_closure(spark, tmp_path):
         if not t.key.startswith("clock")
     ]
     assert len(rows) == len(want), rows
+
+
+def test_sessionize_stream_cross_batch_out_of_order(spark, tmp_path):
+    """Above-watermark events arriving in a LATER micro-batch must
+    bridge buffered sessions and min-update session_start — the two
+    failure modes of eager in-batch emission."""
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: x at 60 and 100 min — gap 40 > 30, so two buffered
+    # sessions [60,60] and [100,100]; watermark advances to 100-60=40
+    _mk(spark, [("x", 60), ("x", 100)]).write.mode("append").parquet(events_dir)
+    _run(spark, events_dir, out_dir, ckpt)
+    assert _read(spark, out_dir) == set()
+
+    # batch 2: out-of-order but above-watermark events: 75 bridges the
+    # two buffered sessions (75-60=15 <= 30 and 100-75=25 <= 30), and
+    # 55 extends the merged session backwards (60-55=5 <= 30), so
+    # session_start must min-update to 55
+    _mk(spark, [("x", 75), ("x", 55)]).write.mode("append").parquet(events_dir)
+    _run(spark, events_dir, out_dir, ckpt)
+    assert _read(spark, out_dir) == set()
+
+    # batch 3: clock at 300 -> watermark 240 > 100+30: the ONE merged
+    # session emits, exactly matching batch q08 on {55,60,75,100}
+    want = {
+        (
+            "x",
+            T0 + dt.timedelta(minutes=55),
+            T0 + dt.timedelta(minutes=100),
+            4,
+        )
+    }
+    _mk(spark, [("clock", 300)]).write.mode("append").parquet(events_dir)
+    _run(spark, events_dir, out_dir, ckpt)
+    got = {t for t in _read(spark, out_dir) if t[0] == "x"}
+    assert got == want, got
+
+    # batch 4: exactly-once — nothing re-emits
+    _mk(spark, [("clock", 301)]).write.mode("append").parquet(events_dir)
+    _run(spark, events_dir, out_dir, ckpt)
+    got = {t for t in _read(spark, out_dir) if t[0] == "x"}
+    assert got == want, got
 
 
 def test_sessionize_stream_matches_batch_q08_semantics(spark, tmp_path):
