@@ -272,10 +272,15 @@ def compact_planet(
     delta_pages: DataFrame,
     config: BuildConfig | None = None,
     defer_zoom_below: int | None = None,
+    stream_batch_id: int | None = None,
 ) -> dict:
     """Fold a delta page batch into an existing planet build.
 
     Returns a summary dict (generation, dirty tile count, delta rows).
+    ``stream_batch_id`` (the streaming exactly-once marker) is written
+    INTO this compaction's log record in the same json write — atomic
+    with the fold, so a crash can never leave a folded-but-unmarked
+    batch for foreachBatch to double-apply.
     ``config`` must fingerprint-match the base build — compacting under
     different rules would splice tiles rendered under two manifests.
     Mixed planets are supported for PAGE deltas (points only); deltas
@@ -412,6 +417,8 @@ def compact_planet(
         "wall_sec": round(time.time() - t0, 3),
         "steps": steps,
     }
+    if stream_batch_id is not None:
+        summary["stream_batch_id"] = stream_batch_id
     log_path = os.path.join(planet_dir, "_compaction.json")
     log = []
     if os.path.exists(log_path):

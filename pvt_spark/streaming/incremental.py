@@ -248,8 +248,15 @@ def run_incremental_build(
 
     Exactly-once: ``foreachBatch`` can replay a batch after a crash;
     compaction appends are not naturally idempotent, so the applied
-    batch high-water mark rides ``_compaction.json`` and replayed
-    batch ids are skipped.
+    batch high-water mark rides ``_compaction.json``. The stamp is
+    ATOMIC with the fold: ``compact_planet`` writes ``stream_batch_id``
+    into its own compaction record in the same json write, so no crash
+    point leaves a folded-but-unmarked batch. Bootstrap uses a
+    ``bootstrap_pending`` marker written BEFORE ``build_planet`` runs:
+    a crash mid-bootstrap replays into ``build_planet``'s stage-resume
+    (idempotent), then finalizes the marker. A planet built offline
+    (lineage present, no compaction log) is adopted with a synthetic
+    ``prebuilt`` bootstrap record and the first batch folds normally.
     """
     import json
     import os
@@ -260,54 +267,61 @@ def run_incremental_build(
     config = config or BuildConfig()
     log_path = os.path.join(planet_dir, "_compaction.json")
 
-    def applied_batches() -> set:
+    def read_log() -> list:
         if not os.path.exists(log_path):
-            return set()
+            return []
         with open(log_path) as f:
-            return {r["stream_batch_id"] for r in json.load(f) if "stream_batch_id" in r}
+            return json.load(f)
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        bootstrapped = os.path.exists(
-            os.path.join(planet_dir, "points_sorted", "_lineage.json")
-        )
-        if not bootstrapped:
-            build_planet(spark, batch_df, planet_dir, config)
-            stamp = {"stream_batch_id": batch_id, "bootstrap": True}
-        else:
-            if batch_id in applied_batches():
-                return  # crash-replay of an already-folded batch
-            summary = compact_planet(
-                spark, planet_dir, batch_df, config,
-                defer_zoom_below=defer_zoom_below,
-            )
-            stamp = dict(summary, stream_batch_id=batch_id)
-            if defer_zoom_below is not None and flush_every:
-                # compact_planet already appended this batch's record;
-                # count compaction records (not bootstrap, not flushes)
-                # since the last flush
-                with open(log_path) as f:
-                    log_now = json.load(f)
-                since_flush = 0
-                for r in log_now:
-                    if r.get("flush"):
-                        since_flush = 0
-                    elif not r.get("bootstrap"):
-                        since_flush += 1
-                if since_flush >= flush_every:
-                    flush_deferred(spark, planet_dir, config)
-        log = []
-        if os.path.exists(log_path):
-            with open(log_path) as f:
-                log = json.load(f)
-        # compact_planet already appended its own record; stamp the
-        # stream batch id onto the latest record (or append the
-        # bootstrap marker)
-        if log and not stamp.get("bootstrap") and "stream_batch_id" not in log[-1]:
-            log[-1]["stream_batch_id"] = batch_id
-        else:
-            log.append(stamp)
+    def write_log(log: list) -> None:
+        os.makedirs(planet_dir, exist_ok=True)
         with open(log_path, "w") as f:
             json.dump(log, f, indent=1, sort_keys=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        log = read_log()
+        if not any(r.get("bootstrap") for r in log):
+            pending = next((r for r in log if "bootstrap_pending" in r), None)
+            lineage_exists = os.path.exists(
+                os.path.join(planet_dir, "points_sorted", "_lineage.json")
+            )
+            if pending is not None or not lineage_exists:
+                # fresh planet, or a crash-replay of a mid-flight
+                # bootstrap (build_planet resumes finished stages)
+                if pending is None:
+                    log.append({"bootstrap_pending": batch_id})
+                    write_log(log)
+                build_planet(spark, batch_df, planet_dir, config)
+                log = read_log()
+                for r in log:
+                    if "bootstrap_pending" in r:
+                        bid = r.pop("bootstrap_pending")
+                        r.update({"bootstrap": True, "stream_batch_id": bid})
+                write_log(log)
+                return
+            # lineage but no compaction log: adopt an offline build
+            log.append({"bootstrap": True, "prebuilt": True})
+            write_log(log)
+        applied = {r["stream_batch_id"] for r in log if "stream_batch_id" in r}
+        if batch_id in applied:
+            return  # crash-replay of an already-folded batch
+        compact_planet(
+            spark, planet_dir, batch_df, config,
+            defer_zoom_below=defer_zoom_below,
+            stream_batch_id=batch_id,
+        )
+        if defer_zoom_below is not None and flush_every:
+            # count compaction records (not bootstrap, not flushes)
+            # since the last flush; a crash between compact and flush
+            # self-heals — the next batch sees count > flush_every
+            since_flush = 0
+            for r in read_log():
+                if r.get("flush"):
+                    since_flush = 0
+                elif not r.get("bootstrap") and "bootstrap_pending" not in r:
+                    since_flush += 1
+            if since_flush >= flush_every:
+                flush_deferred(spark, planet_dir, config)
 
     q = (
         read_pages_stream(spark, pages_dir)
