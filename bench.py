@@ -214,7 +214,10 @@ def main() -> None:
         # invalidation set (every delta point dirties its own leaf), so
         # compact_dirty_frac is reported alongside: the wall ratio tracks
         # the dirty fraction plus ~8 fixed job costs, not the planet size
-        delta = _synth(spark_c, max(500, n_pages // 200), seed=777)
+        # start=n_pages keeps the delta's page ids/urls disjoint from the
+        # base build — the fresh-crawl shape the incremental path
+        # contracts for (re-crawl overlap is excluded for mixed planets)
+        delta = _synth(spark_c, max(500, n_pages // 200), seed=777, start=n_pages)
         timings["calib_compact"] = _calib_hilbert_once()
         t0 = time.time()
         s = compact_planet(spark_c, planet, delta, BuildConfig(leaf_zoom=12))

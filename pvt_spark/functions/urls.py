@@ -12,7 +12,10 @@ Rules applied (order matters):
 2. lowercase scheme + authority (path/query case is significant)
 3. drop a ``www.`` host prefix
 4. drop explicit default ports ``:80`` / ``:443``
-5. drop ``utm_*`` tracking parameters (and their separators)
+5. drop ``utm_*`` tracking parameters (and their separators) —
+   anchored to a ``?``/``&`` parameter boundary so a ``utm_``
+   substring mid-path or inside another parameter's name/value is
+   never touched (``?xutm_a=1&b=2`` keeps both params)
 6. strip a trailing ``?`` or ``/``
 
 Certified value-exact against a DuckDB oracle running the same
@@ -40,7 +43,10 @@ def canonical_url(url: Column) -> Column:
     )
     head = F.regexp_replace(head, "://www\\.", "://")
     head = F.regexp_replace(head, ":(80|443)$", "")
-    rest = F.regexp_replace(rest, "utm_[^&]*&", "")
+    # boundary-anchored; (utm_[^&]*&)+ eats runs of consecutive utm
+    # params in one match (the consumed '&' would otherwise hide the
+    # boundary of the next one from a single-param pattern)
+    rest = F.regexp_replace(rest, "([?&])(utm_[^&]*&)+", "$1")
     rest = F.regexp_replace(rest, "[?&]utm_[^&]*$", "")
     rest = F.regexp_replace(rest, "\\?&", "?")
     rest = F.regexp_replace(rest, "[?/]+$", "")

@@ -1906,7 +1906,7 @@ s3 AS (
                    ':(80|443)$', '') AS head,
     regexp_replace(
       regexp_replace(
-        regexp_replace(regexp_replace(rest, 'utm_[^&]*&', '', 'g'),
+        regexp_replace(regexp_replace(rest, '([?&])(utm_[^&]*&)+', '\\1', 'g'),
                        '[?&]utm_[^&]*$', ''),
         '\\?&', '?'),
       '[?/]+$', '') AS rest
@@ -2093,7 +2093,7 @@ s3 AS (
     regexp_replace(regexp_replace(head, '://www\\.', '://'), ':(80|443)$', '')
     || regexp_replace(
          regexp_replace(
-           regexp_replace(regexp_replace(rest, 'utm_[^&]*&', '', 'g'),
+           regexp_replace(regexp_replace(rest, '([?&])(utm_[^&]*&)+', '\\1', 'g'),
                           '[?&]utm_[^&]*$', ''),
            '\\?&', '?'),
          '[?/]+$', '') AS canonical_url
@@ -2494,7 +2494,7 @@ s3 AS (
                    ':(80|443)$', '') AS head,
     regexp_replace(
       regexp_replace(
-        regexp_replace(regexp_replace(rest, 'utm_[^&]*&', '', 'g'),
+        regexp_replace(regexp_replace(rest, '([?&])(utm_[^&]*&)+', '\\1', 'g'),
                        '[?&]utm_[^&]*$', ''),
         '\\?&', '?'),
       '[?/]+$', '') AS rest
