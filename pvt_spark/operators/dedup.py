@@ -18,10 +18,17 @@ persisted, and re-read unshuffled every iteration. Convergence is
 detected by the monotone sum-of-labels invariant (labels only ever
 decrease, so the total strictly decreases iff any label moved) — one
 scalar aggregate per superstep on checkpointed data, no row-level diff
-join. For adversarially long chains, the same equi-join primitive
-slots into alternating large-star / small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) for
-O(log^2 n) supersteps; not needed at observed web dup shapes.
+join. For adversarially long chains (crawl-loop URL-rewrite cycles,
+pathological shingle overlaps), propagation degrades to O(diameter):
+after ``star_fallback_after`` supersteps without a fixpoint the loop
+hands the CURRENT edge set plus the partial labels (valid
+same-component edges — the propagation work is kept, not discarded) to
+alternating large-star / small-star rounds (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which contract any
+graph in O(log^2 n) rounds. Convergence there is exact, not a
+fingerprint: the edge set is a star forest iff no destination node
+still has an outgoing edge AND every source points at exactly one
+root — two scalar aggregates per round.
 """
 
 from __future__ import annotations
@@ -32,11 +39,88 @@ from pyspark.sql import functions as F
 from pvt_spark.session import drop_local_checkpoint as _drop_checkpoint
 
 
+def _star_contract(edges: DataFrame, n_parts: int, max_rounds: int,
+                   stats: dict | None = None) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    SoCC'14 §3) of a directed edge set oriented big->small; returns the
+    converged star forest as (doc_id, group_id) labels.
+
+    Per round, two shuffles keyed on the star center (groupBy min +
+    re-join — no collect_list, so a 10^8-degree hub never materializes
+    an array) and two scalar aggregates for the EXACT convergence test:
+    a directed edge set is a star forest iff (1) no destination still
+    has an outgoing edge and (2) every source points at exactly one
+    root. O(log^2 n) rounds on any graph, including paths/cycles where
+    min-label propagation needs O(n) supersteps.
+    """
+    E = edges.localCheckpoint(eager=True)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # large-star: over the SYMMETRIC adjacency, every node u sends
+        # its strictly-larger neighbors to m = min(N(u) + {u})
+        sym = E.unionByName(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("m"))
+        mins = mins.select("a", F.least("m", F.col("a")).alias("m"))
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .repartition(n_parts, "a")
+            .distinct()
+        )
+        # small-star: over big->small edges, every center u rewires its
+        # smaller neighbors AND itself to m = min(N(u))
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select("a", F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .repartition(n_parts, "a")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        _drop_checkpoint(E)
+        E = small
+        # exact star-forest test (two scalar jobs on the checkpoint)
+        n_chained = (
+            E.alias("x")
+            .join(E.alias("y"), F.col("x.b") == F.col("y.a"), "left_semi")
+            .count()
+        )
+        n_multi = (
+            E.groupBy("a").agg(F.count_distinct("b").alias("nd"))
+            .where(F.col("nd") > 1)
+            .count()
+        )
+        if n_chained == 0 and n_multi == 0:
+            break
+    if stats is not None:
+        stats["star_rounds"] = rounds
+    roots = (
+        E.select(F.col("b").alias("doc_id"))
+        .distinct()
+        .join(E.select(F.col("a").alias("doc_id")).distinct(), "doc_id", "left_anti")
+        .withColumn("group_id", F.col("doc_id"))
+    )
+    labels = (
+        E.select(F.col("a").alias("doc_id"), F.col("b").alias("group_id"))
+        .unionByName(roots)
+        .repartition(n_parts, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    _drop_checkpoint(E)
+    return labels
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 50,
+    star_fallback_after: int = 8,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Transitive closure of an undirected candidate-pair graph.
 
@@ -44,7 +128,14 @@ def connected_components(
     per undirected edge (duplicates and orientation don't matter).
     Returns (doc_id, group_id) for every id that appears in a pair,
     where group_id is the minimum id in the connected component.
-    Deterministic: min-label propagation has a unique fixpoint.
+    Deterministic: min-label propagation has a unique fixpoint, and the
+    star fallback's fixpoint is the same star forest.
+
+    ``star_fallback_after``: supersteps of min-label propagation to try
+    before switching to the O(log^2 n) large-star/small-star contraction
+    (high-diameter escape hatch; see module docstring). ``stats``, when
+    a dict, receives {"supersteps": k[, "star_rounds": m]} for
+    observability and tests.
     """
     sym = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -74,8 +165,10 @@ def connected_components(
         .withColumn("group_id", F.col("doc_id"))
     ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("group_id")).collect()[0][0]
+    converged = False
+    supersteps = 0
     try:
-        for _ in range(max_iters):
+        for supersteps in range(1, max_iters + 1):
             # superstep: every node offers its label to each neighbor;
             # a node keeps the min of its own label and all offers.
             # ONE label-scale exchange (the pre-groupBy repartition);
@@ -97,8 +190,39 @@ def connected_components(
             _drop_checkpoint(labels)
             labels = new_labels
             if new_sum == prev_sum:  # monotone invariant -> fixpoint
+                converged = True
                 break
             prev_sum = new_sum
+            if supersteps >= star_fallback_after:
+                break  # high-diameter graph: hand off to star rounds
+        if stats is not None:
+            stats["supersteps"] = supersteps
+        if not converged:
+            # Seed the contraction with the original edges PLUS the
+            # partial labels (each non-trivial label is a proven
+            # same-component edge), so propagation work is kept: a
+            # path already collapsed to distance-8 stars contracts in
+            # correspondingly fewer rounds.
+            seed = edges.select("a", "b").unionByName(
+                labels.where(F.col("group_id") != F.col("doc_id")).select(
+                    F.col("doc_id").alias("a"), F.col("group_id").alias("b")
+                )
+            )
+            e0 = (
+                seed.select(
+                    F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+                )
+                .where(F.col("a") != F.col("b"))
+                .repartition(n_parts, "a")
+                .distinct()
+            )
+            star_labels = _star_contract(
+                e0, n_parts, max_rounds=max(8, max_iters), stats=stats
+            )
+            # only now is the seed materialized — safe to drop the
+            # partial-label snapshot it was derived from
+            _drop_checkpoint(labels)
+            labels = star_labels
     finally:
         _drop_checkpoint(edges)
     return labels

@@ -72,6 +72,61 @@ def test_cc_leaves_only_the_result_checkpoint(spark):
     assert len(after - before) == 1
 
 
+def test_cc_star_fallback_on_long_chain(spark):
+    """Adversarial high-diameter graph (10^4-node path): min-label
+    propagation alone needs O(n) supersteps; the large-star/small-star
+    fallback must close it in O(log^2 n) rounds. Asserts the handoff
+    fires after exactly star_fallback_after supersteps and the total
+    round count stays within 2*log2(n)^2 (Kiveris et al. SoCC'14 bound;
+    observed counts are far smaller)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pvt_spark.operators.dedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    stats: dict = {}
+    out = connected_components(pairs, star_fallback_after=8, stats=stats)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("group_id") == 0, 1).otherwise(0)).alias("zeros"),
+    ).collect()[0]
+    assert agg.n == n and agg.zeros == n
+    assert stats["supersteps"] == 8
+    bound = 2 * math.ceil(math.log2(n)) ** 2
+    assert 1 <= stats["star_rounds"] <= bound, stats
+
+
+def test_cc_star_fallback_matches_propagation(spark):
+    """Fallback path and pure propagation reach the same fixpoint on a
+    pseudo-random multi-component graph (including a cycle)."""
+    import random
+
+    from pvt_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    edges += [(1000 + i, 1000 + (i + 1) % 40) for i in range(40)]  # cycle
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long"
+    )
+    via_prop = {
+        r.doc_id: r.group_id
+        for r in connected_components(df, star_fallback_after=50).collect()
+    }
+    stats: dict = {}
+    via_star = {
+        r.doc_id: r.group_id
+        for r in connected_components(df, star_fallback_after=1, stats=stats).collect()
+    }
+    assert stats.get("star_rounds", 0) >= 1
+    assert via_star == via_prop
+
+
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
 def test_q36_matches_duckdb_oracle(spark, sf_dir):
     from pvt_spark.queries import compare_against_oracle
