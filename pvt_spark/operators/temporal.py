@@ -10,9 +10,17 @@ carries the most recent right row forward onto every left row. Cost: ONE
 shuffle on the key plus a per-partition sort — linear, and the same plan a
 stream-table join would compile to. At 100 TB the unit of parallelism is
 the key; a single pathological key (one user with 10^9 events) would pin a
-task, in which case pre-split the key on coarse ts buckets and stitch the
-bucket boundaries with a per-(key,bucket) "last right row" carry table —
-documented here, not needed at our key cardinalities.
+task. ``split_threshold`` is the escape hatch: keys whose combined row
+count exceeds it are pre-split on ``n_buckets`` coarse ts buckets — the
+window partitions on (key, bucket), and bucket boundaries are stitched
+with a per-(key, bucket) "last right row so far" carry table (one row per
+occupied bucket, carried by a tiny per-key window and equi-joined back).
+Cold keys keep the plain single-window plan inside the SAME job; the two
+paths differ only in the computed bucket id (cold = constant 0), so the
+result is one plan with no union. Value-identical to the unsplit plan by
+construction (the carry is exactly the latest right payload from any
+earlier bucket) and pinned by tests + the q58 gate entry against q50's
+independent quadratic oracle.
 
 ``range_join_points`` — join points to intervals of the same key with
 lo <= ts <= hi. The scalable form bands time into fixed-width buckets:
@@ -42,9 +50,19 @@ def asof_join(
     right_cols: list[str],
     tie: str,
     tolerance_us: int | None = None,
+    split_threshold: int | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Backward as-of join: attach the latest right row per key at-or-before
     each left row's timestamp.
+
+    ``split_threshold``: when set, keys whose combined (left + right) row
+    count exceeds it are windowed per (key, ts-bucket) instead of per key
+    — ``n_buckets`` buckets spanning the key's own ts range — with the
+    bucket boundaries stitched by a carry table, so one 10^9-row key
+    parallelizes across ``n_buckets`` tasks instead of pinning one.
+    Detection costs one count aggregate over the tagged union; leave it
+    None (default) for the single-shuffle plan.
 
     ``left_ts`` / ``right_ts`` are bigint epoch-microsecond columns (cast
     with ``F.unix_micros`` upstream). ``tie`` is a unique bigint on the
@@ -89,13 +107,79 @@ def asof_join(
     # Right rows sort before left rows at equal ts (tag 0 < 1): the match
     # is inclusive. Within equal-ts right rows, larger tie sorts last and
     # wins the last().
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__ots", "__tag", "__otie")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = r.unionByName(l).withColumn("__m", F.last("__pay", ignorenulls=True).over(w))
-    out = u.filter(F.col("__tag") == 1)
+    u = r.unionByName(l)
+    if split_threshold is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__ots", "__tag", "__otie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = u.withColumn("__m", F.last("__pay", ignorenulls=True).over(w)).filter(
+            F.col("__tag") == 1
+        )
+    else:
+        # hot-key pre-split: per-key stats gate the bucketing; the stats
+        # table holds ONLY keys above the threshold, so it broadcasts
+        stats = (
+            u.groupBy(*on)
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min("__ots").alias("__kmin"),
+                F.max("__ots").alias("__kmax"),
+            )
+            .where(F.col("__cnt") > int(split_threshold))
+            .select(
+                *on,
+                "__kmin",
+                (
+                    F.floor(
+                        (F.col("__kmax") - F.col("__kmin")) / F.lit(int(n_buckets))
+                    )
+                    + 1
+                ).alias("__width"),
+            )
+        )
+        u2 = u.join(F.broadcast(stats), on, "left").withColumn(
+            "__bkt",
+            F.when(
+                F.col("__width").isNotNull(),
+                F.floor((F.col("__ots") - F.col("__kmin")) / F.col("__width")),
+            ).otherwise(F.lit(0)),
+        )
+        w = (
+            Window.partitionBy(*on, "__bkt")
+            .orderBy("__ots", "__tag", "__otie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u3 = u2.withColumn("__m_local", F.last("__pay", ignorenulls=True).over(w))
+        # boundary carry: per occupied (hot key, bucket), the latest right
+        # payload in that bucket (max_by ignores left rows via the NULL
+        # ordering key), then "latest from any EARLIER bucket" via a
+        # per-key window over <= n_buckets rows
+        wc = (
+            Window.partitionBy(*on)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            u2.where(F.col("__width").isNotNull())
+            .groupBy(*on, "__bkt")
+            .agg(
+                F.max_by(
+                    "__pay",
+                    F.when(
+                        F.col("__tag") == 0, F.struct(F.col("__ots"), F.col("__otie"))
+                    ),
+                ).alias("__last_pay")
+            )
+            .withColumn("__carry", F.last("__last_pay", ignorenulls=True).over(wc))
+            .select(*on, "__bkt", "__carry")
+        )
+        out = (
+            u3.join(carry, [*on, "__bkt"], "left")
+            .withColumn("__m", F.coalesce("__m_local", "__carry"))
+            .filter(F.col("__tag") == 1)
+        )
     if tolerance_us is not None:
         out = out.withColumn(
             "__m",

@@ -3202,6 +3202,47 @@ ORDER BY n1.label, n1.aid
 """
 
 
+def q58_asof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q50's backward as-of join through the HOT-KEY PRE-SPLIT path
+    (``operators/temporal.asof_join`` with ``split_threshold``): keys
+    above the threshold window per (key, ts-bucket) with boundary-carry
+    stitching instead of per key, so one pathological key parallelizes
+    across buckets. Certified against q50's independent quadratic
+    oracle (the q34/q13 pattern: same answer, different physical plan —
+    at sf0.01 the 20-row threshold makes most user keys take the
+    bucketed path, sf0.001 exercises the mixed hot/cold plan)."""
+    from pvt_spark.operators.temporal import asof_join
+
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("us").alias("purchase_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "us"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="purchase_us",
+        right_ts="us",
+        right_cols=["click_id"],
+        tie="click_id",
+        tolerance_us=86_400_000_000,
+        split_threshold=20,
+        n_buckets=8,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_us",
+        F.col("matched_click_id").alias("click_id"),
+        F.col("matched_us").alias("click_us"),
+        (F.col("purchase_us") - F.col("matched_us")).alias("lag_us"),
+    ).orderBy("purchase_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3268,6 +3309,8 @@ REGISTRY: dict[str, tuple] = {
     "q55_topk_per_group": (q55_topk_per_group, Q55_SQL),
     "q56_streaming_asof": (q56_streaming_asof, Q56_SQL),
     "q57_mutual_nn": (q57_mutual_nn, Q57_SQL),
+    # q58 certifies the hot-key pre-split as-of plan against q50's oracle
+    "q58_asof_split": (q58_asof_split, Q50_SQL),
 }
 
 # --- Driver-gate ordering -------------------------------------------------
@@ -3290,6 +3333,7 @@ _GATE_FIRST = [
     "q55_topk_per_group",
     "q56_streaming_asof",
     "q57_mutual_nn",
+    "q58_asof_split",
 ]
 _GATE_LAST = [f"q{i:02d}_" for i in range(1, 11)]
 _gate_last = [k for k in REGISTRY if any(k.startswith(p) for p in _GATE_LAST)]

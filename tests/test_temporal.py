@@ -157,3 +157,67 @@ def test_plan_shapes_temporal(spark):
     )
     assert "BroadcastNestedLoopJoin" not in p51 and "CartesianProduct" not in p51
     assert any(j in p51 for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+# -- hot-key pre-split (split_threshold): value parity with the plain
+# plan, boundary-carry correctness, and the parallelized window shape.
+
+
+def test_asof_split_parity_all_edge_semantics(spark):
+    """Every hand-built edge case above must survive the split path:
+    run the same rows with split_threshold=0 (every key hot) and tiny
+    buckets so matches routinely cross bucket boundaries."""
+    left = [(1, 10, 100), (1, 11, 55), (1, 12, 52), (1, 13, 40), (2, 20, 60)]
+    right = [
+        (1, 1, 50, "a"), (1, 3, 55, "c"), (1, 2, 55, "b"), (1, 4, 99, "d"),
+        (2, 9, 10, "z"),
+    ]
+    plain = _asof(spark, left, right)
+    split = _asof(spark, left, right, split_threshold=0, n_buckets=5)
+    assert {k: tuple(v) for k, v in split.items()} == {
+        k: tuple(v) for k, v in plain.items()
+    }
+    # tolerance interacts with the carry (match found in an earlier
+    # bucket, then aged out)
+    plain_t = _asof(spark, left, right, tolerance_us=3)
+    split_t = _asof(spark, left, right, tolerance_us=3, split_threshold=0, n_buckets=7)
+    assert {k: tuple(v) for k, v in split_t.items()} == {
+        k: tuple(v) for k, v in plain_t.items()
+    }
+
+
+def test_asof_split_one_hot_key_parity_and_plan(spark):
+    """One pathological key (50k rows, everything else cold): the split
+    path must (a) reproduce the unsplit values exactly and (b) window on
+    (key, bucket) — the hot key's scan spreads across buckets instead of
+    pinning one task."""
+    from pyspark.sql import functions as F
+
+    n = 50_000
+    ev = spark.range(n).select(
+        F.lit(7).alias("k"),
+        F.col("id").alias("lid"),
+        (F.col("id") * 11 % 1_000_003).alias("lus"),
+    )
+    clicks = spark.range(n // 5).select(
+        F.lit(7).alias("k"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 53 % 1_000_003).alias("rus"),
+        F.lit("x").alias("val"),
+    )
+    cold_l = spark.createDataFrame([(8, 900_001, 77)], "k long, lid long, lus long")
+    cold_r = spark.createDataFrame(
+        [(8, 5, 70, "w")], "k long, rid long, rus long, val string"
+    )
+    left, right = ev.unionByName(cold_l), clicks.unionByName(cold_r)
+    kw = dict(
+        on=["k"], left_ts="lus", right_ts="rus", right_cols=["rid", "val"], tie="rid"
+    )
+    plain = asof_join(left, right, **kw)
+    split = asof_join(left, right, split_threshold=1000, n_buckets=32, **kw)
+    assert split.exceptAll(plain).count() == 0
+    assert plain.exceptAll(split).count() == 0
+    assert split.count() == n + 1
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan and "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
