@@ -312,6 +312,65 @@ def ivf_index_build(
     return desc
 
 
+def ivf_index_append(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+) -> dict:
+    """Append vectors to a persisted IVF index WITHOUT refitting: the
+    new rows are assigned against the existing (frozen) centroid set —
+    one map-side GEMM pass over ONLY the new rows — and appended to the
+    cell-partitioned vector table, so new parquet files land inside the
+    existing ``centroid_id=<c>/`` directories and resident data is
+    never read or rewritten. This is the steady-state shape that
+    composes with incremental ingest: per-batch cost is O(new rows),
+    independent of index size.
+
+    Crash-safety: the parquet append commits via Spark's output
+    committer before the descriptor is rewritten; a crash in between
+    leaves a searchable index whose descriptor undercounts
+    ``n_vectors`` (search never consults the counts — it reads the
+    partitioned table), and the next append's descriptor rewrite
+    self-heals the bookkeeping from the recorded history.
+
+    Quality caveat (recorded, not enforced): centroids are frozen, so
+    if the appended distribution drifts from the fit distribution,
+    recall decays. The descriptor tracks ``appended_since_fit`` so a
+    caller can trigger ``ivf_index_build`` refit past a threshold.
+    Appended ``vec_id``s are assumed fresh (the same contract as the
+    incremental page ingest); duplicates are not deduplicated here.
+
+    Returns the updated descriptor.
+    """
+    import json
+    import os
+    import time
+
+    with open(os.path.join(index_dir, "_index.json")) as f:
+        desc = json.load(f)
+    id_col, vec_col = desc["id_col"], desc["vec_col"]
+    t0 = time.time()
+    n_new = new_vectors.count()
+    if n_new == 0:
+        return desc
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assigned = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    desc["n_vectors"] = int(desc["n_vectors"]) + n_new
+    desc["appended_since_fit"] = int(desc.get("appended_since_fit", 0)) + n_new
+    desc.setdefault("appends", []).append(
+        {"n": n_new, "sec": round(time.time() - t0, 3)}
+    )
+    with open(os.path.join(index_dir, "_index.json"), "w") as f:
+        json.dump(desc, f, indent=1, sort_keys=True)
+    return desc
+
+
 def ivf_index_search(
     spark,
     index_dir: str,

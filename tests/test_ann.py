@@ -179,6 +179,68 @@ def test_ivf_index_persist_roundtrip(spark, tmp_path):
     assert n_indexed == 3000 and desc2["fit_fraction"] == 0.25
 
 
+def test_ivf_index_append_parity(spark, tmp_path):
+    """Two appends against a frozen centroid set == one fresh
+    assignment of the union against the same centroids: search results
+    are value-identical, the appended rows are immediately findable,
+    and the descriptor tracks the append history."""
+    import json
+    import os
+
+    from pvt_spark.operators.ann import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    idx = str(tmp_path / "ivf")
+    base = _clustered_vectors(spark, 2000, 16, 12)
+    ivf_index_build(base, idx, iters=2)
+
+    # two appends with fresh ids from the SAME generative family (the
+    # no-drift regime the frozen-centroid contract assumes)
+    batch1 = _clustered_vectors(spark, 2400, 16, 12).where(
+        F.col("vec_id") >= 2000
+    )
+    batch2 = _clustered_vectors(spark, 2800, 16, 12).where(
+        F.col("vec_id") >= 2400
+    )
+    d1 = ivf_index_append(spark, idx, batch1)
+    d2 = ivf_index_append(spark, idx, batch2)
+    assert d1["n_vectors"] == 2400 and d2["n_vectors"] == 2800
+    assert d2["appended_since_fit"] == 800 and len(d2["appends"]) == 2
+    assert json.load(open(os.path.join(idx, "_index.json"))) == d2
+
+    queries = (
+        _clustered_vectors(spark, 6, 16, 12, seed=9)
+        .withColumnRenamed("vec_id", "query_id")
+        .select("query_id", "vec")
+    )
+    got = ivf_index_search(spark, idx, queries, nprobe=4, k=5)
+
+    # oracle: assign the full union against the SAME frozen centroids
+    # in memory (what the appends produce logically) and search that
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    union = _clustered_vectors(spark, 2800, 16, 12)
+    want = ivf_search(ivf_assign(union, cents), cents, queries, nprobe=4, k=5)
+    as_set = lambda df: {
+        (r.query_id, r.vec_id, r.rank, round(r.dot, 9)) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want) and got.count() == 30
+
+    # an appended vector queried by itself is its own top hit (unit
+    # vectors: self-dot == 1 is the max) through the persisted index
+    self_q = batch2.where(F.col("vec_id") == 2500).select(
+        F.col("vec_id").alias("query_id"), "vec"
+    )
+    hit = ivf_index_search(spark, idx, self_q, nprobe=1, k=1).collect()
+    assert len(hit) == 1 and hit[0].vec_id == 2500 and hit[0].rank == 1
+
+    # empty append is a no-op
+    d3 = ivf_index_append(spark, idx, batch2.where(F.lit(False)))
+    assert d3 == d2
+
+
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
 def test_q46_label_centroids_oracle_and_kmeans_parity(spark, sf_dir):
     """q46 is the kmeans update step as a certified query: per-label
