@@ -3243,6 +3243,120 @@ def q58_asof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
+Q59_MERGES = 48
+Q59_TRAIN_DOCS = 200
+
+
+def q59_bpe_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned merge-table BPE over documents (``functions/bpe.py``):
+    merges learned from the first ``Q59_TRAIN_DOCS`` docs (one
+    word-count shuffle + driver loop over the tiny frequency table),
+    then every document encoded map-side (broadcast rank table,
+    memoized pandas UDF). Output: per-doc subword count + distinct
+    subword count. The oracle replays the SAME deterministic learn rule
+    with an independently-written scalar implementation (Counter-based
+    learning; one-occurrence-at-a-time encoding — equivalent because a
+    pair containing a merged symbol always ranks after the merge that
+    created it) and pins the result as a VALUES table, the q30
+    input-dependent-oracle pattern."""
+    from pvt_spark.functions.bpe import bpe_encode, bpe_learn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_learn(docs.where(F.col("doc_id") < Q59_TRAIN_DOCS), Q59_MERGES)
+    enc = bpe_encode(docs, merges, text_col="text", out_col="toks")
+    return enc.select(
+        "doc_id",
+        F.size("toks").alias("n_subwords"),
+        F.size(F.array_distinct("toks")).alias("n_unique_subwords"),
+    ).orderBy("doc_id")
+
+
+def _q59_ref_rows(sf_dir: str) -> list[tuple[int, int, int]]:
+    """Independent scalar BPE replay for the q59 oracle: Counter-based
+    pair statistics, leftmost-single-occurrence merging at encode time
+    (vs the engine's merge-all-occurrences pandas kernel)."""
+    from collections import Counter
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    wf = Counter(
+        w
+        for d, t in rows
+        if d < Q59_TRAIN_DOCS and t
+        for w in t.lower().split()
+    )
+    vocab = Counter()
+    for w, f in wf.items():
+        vocab[tuple(w)] += f
+    merges = []
+    for _ in range(Q59_MERGES):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] += f
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        nv = Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += f
+        vocab = nv
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    cache: dict[str, list[str]] = {}
+
+    def enc_word(w: str) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        parts = list(w)
+        while True:
+            cand = [
+                (ranks[p], i)
+                for i, p in enumerate(zip(parts, parts[1:]))
+                if p in ranks
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            parts[i : i + 2] = [parts[i] + parts[i + 1]]
+        cache[w] = parts
+        return parts
+
+    out_rows = []
+    for d, t in rows:
+        toks = [s for w in (t.lower().split() if t else []) for s in enc_word(w)]
+        out_rows.append((d, len(toks), len(set(toks))))
+    return out_rows
+
+
+def q59_sql(sf_dir: str) -> str:
+    """DuckDB oracle for q59: the independent scalar replay's per-doc
+    counts as a VALUES table (input-dependent oracle, q30 pattern)."""
+    vals = ",\n".join(f"({d}, {n}, {u})" for d, n, u in _q59_ref_rows(sf_dir))
+    return (
+        "SELECT * FROM (VALUES\n"
+        + vals
+        + "\n) AS t(doc_id, n_subwords, n_unique_subwords)\nORDER BY doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3311,6 +3425,9 @@ REGISTRY: dict[str, tuple] = {
     "q57_mutual_nn": (q57_mutual_nn, Q57_SQL),
     # q58 certifies the hot-key pre-split as-of plan against q50's oracle
     "q58_asof_split": (q58_asof_split, Q50_SQL),
+    # q59's oracle is a CALLABLE (sf_dir -> SQL): the independent
+    # scalar BPE replay's counts are pinned as VALUES (q30 pattern)
+    "q59_bpe_subword": (q59_bpe_subword, q59_sql),
 }
 
 # --- Driver-gate ordering -------------------------------------------------
@@ -3326,6 +3443,7 @@ REGISTRY: dict[str, tuple] = {
 # the committed full-registry self-run (scripts/oracle_check.py ->
 # BENCH/CORRECTNESS_SELF_r*.json) and the pytest oracle tests.
 _GATE_FIRST = [
+    "q59_bpe_subword",
     "q51_range_join",
     "q52_radius_join",
     "q53_group_quantiles",
