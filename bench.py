@@ -153,6 +153,118 @@ def _calib_par_task(_: int) -> None:
     hb.xy2h(x, x[::-1].copy(), 32)
 
 
+def _streaming_rate_bench(
+    spark, tmp_root: str, n_batches: int = 12, rows_per_batch: int = 50_000,
+    n_keys: int = 2_000,
+) -> dict:
+    """Rate-controlled stateful-streaming throughput (VERDICT r4 item 4):
+    N fixed-size micro-batches (maxFilesPerTrigger=1 + availableNow =
+    exactly one batch per pre-written file) through asof_join_stream and
+    sessionize_stream, reporting rows/sec, median batch wall, output
+    rows, and state-store rows — so q56's wall (dominated by replay/
+    checkpoint fixed cost) stops reading as operator cost. State-store
+    partitions pin to 16 for the streaming session (state tasks are the
+    per-batch fixed cost; 128 partitions measured 6x slower on the same
+    input with identical results)."""
+    import json as _json
+
+    from pvt_spark.streaming.asof import asof_join_stream
+    from pvt_spark.streaming.sessions import sessionize_stream
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    base_us = 1_700_000_000_000_000
+    out: dict = {
+        "streaming_batches": n_batches,
+        "streaming_rows_per_batch": rows_per_batch,
+    }
+
+    def run(name, src, ck, make_query):
+        t0 = time.time()
+        q = (
+            make_query(
+                spark.readStream.schema(
+                    "key string, tag int, ts timestamp, id long"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        progs = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in q.recentProgress
+        ]
+        data = [p for p in progs if p.get("numInputRows", 0) > 0]
+        durs = sorted(p["batchDuration"] for p in data)
+        states = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in data
+            if p.get("stateOperators")
+        ]
+        out[f"{name}_wall_sec"] = round(wall, 3)
+        out[f"{name}_rows_per_sec"] = round(
+            sum(p["numInputRows"] for p in data) / wall, 1
+        )
+        out[f"{name}_median_batch_ms"] = durs[len(durs) // 2] if durs else None
+        out[f"{name}_out_rows"] = sum(
+            p.get("sink", {}).get("numOutputRows", 0) for p in data
+        )
+        out[f"{name}_state_rows_max"] = max(states) if states else 0
+
+    try:
+        # tagged as-of stream: hashed keys, 1ms event spacing, watermark
+        # trails 2s so most lefts finalize one batch later — steady-state
+        # emission, state bounded by n_keys (pending + floor per key)
+        src = os.path.join(tmp_root, "rate_asof_src")
+        for b in range(n_batches):
+            spark.range(rows_per_batch).selectExpr(
+                f"cast(pmod(id * 2654435761, {n_keys}) as string) as key",
+                "cast(id % 2 as int) as tag",
+                f"timestamp_micros({base_us} + cast(({b} * {rows_per_batch}"
+                " + id) as bigint) * 1000) as ts",
+                f"{b} * {rows_per_batch} + id as id",
+            ).coalesce(1).write.mode("append").parquet(src)
+        run(
+            "streaming_asof",
+            src,
+            os.path.join(tmp_root, "rate_asof_ck"),
+            lambda s: asof_join_stream(s, watermark="2 seconds"),
+        )
+
+        # sessionize: hashed key arrivals are geometric (mean ~n_keys ms
+        # apart per key), so with gap = 5s a realistic fraction of
+        # per-key gaps exceed it — sessions close every batch instead of
+        # one unbounded session per key
+        src_s = os.path.join(tmp_root, "rate_sess_src")
+        for b in range(n_batches):
+            spark.range(rows_per_batch).selectExpr(
+                f"cast(pmod(xxhash64(id + {b * rows_per_batch}), {n_keys})"
+                " as string) as key",
+                "cast(0 as int) as tag",
+                f"timestamp_micros({base_us} + cast(({b} * {rows_per_batch}"
+                " + id) as bigint) * 1000) as ts",
+                "id as id",
+            ).coalesce(1).write.mode("append").parquet(src_s)
+        run(
+            "streaming_sessionize",
+            src_s,
+            os.path.join(tmp_root, "rate_sess_ck"),
+            lambda s: sessionize_stream(
+                s, "key", "ts", gap_sec=5, watermark="2 seconds"
+            ),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -244,6 +356,69 @@ def main() -> None:
         )
         timings["compact_deferred_halfpct"] = round(time.time() - t0, 3)
         timings["compact_deferred_parked_tiles"] = s2["deferred_tiles"]
+
+        # streaming-cadence compaction, end-to-end (VERDICT r4 item 6):
+        # 10 micro-batches (0.1% of the planet each) drain through ONE
+        # run_incremental_build call (maxFilesPerTrigger=1 => one
+        # foreachBatch fold per file; flush_every=5 folds the deferred
+        # low-zoom set mid-stream), then a final flush + byte-identity
+        # check against a full rebuild over every page ever ingested
+        from pvt_spark.plans.compaction import flush_deferred, read_tiles
+        from pvt_spark.plans.pipeline import build_planet as _bp_full
+        from pvt_spark.streaming.incremental import run_incremental_build
+
+        stream_src = os.path.join(tmp_root, "compact_stream_src")
+        drops = []
+        batch_pages = max(200, n_pages // 1000)
+        for b in range(10):
+            d = _synth(
+                spark_c, batch_pages, seed=900 + b,
+                start=3 * n_pages + b * batch_pages, partitions=1,
+            )
+            drops.append(d)
+            d.write.mode("append").parquet(stream_src)
+        timings["calib_compact_stream"] = _calib_hilbert_once()
+        t0 = time.time()
+        run_incremental_build(
+            spark_c, stream_src, planet,
+            os.path.join(tmp_root, "compact_stream_ck"),
+            BuildConfig(leaf_zoom=12),
+            defer_zoom_below=8, flush_every=5, max_files_per_trigger=1,
+        )
+        timings["compact_stream_10batch"] = round(time.time() - t0, 3)
+        timings["compact_stream_batch_pages"] = batch_pages
+        timings["compact_stream_10batch_norm"] = round(
+            timings["compact_stream_10batch"] / timings["calib_compact_stream"],
+            2,
+        )
+        t0 = time.time()
+        flush_deferred(spark_c, planet, BuildConfig(leaf_zoom=12))
+        timings["compact_stream_final_flush"] = round(time.time() - t0, 3)
+
+        # byte-identity: the streamed planet == a cold rebuild over the
+        # union of every page fed to it (base + the two compact deltas
+        # + the 10 stream drops) — exceptAll both ways on tile md5
+        all_pages = spark_c.read.parquet(
+            os.path.join(tmp_root, f"pages_{n_pages}")
+        )
+        for extra in (delta, delta2, *drops):
+            all_pages = all_pages.unionByName(extra)
+        full_dir = os.path.join(tmp_root, "planet_stream_full")
+        _bp_full(spark_c, all_pages, full_dir, BuildConfig(leaf_zoom=12))
+        from pyspark.sql import functions as _F
+
+        def _tm(df):
+            return df.select(
+                "zoom", "tile_h", _F.md5(_F.col("payload")).alias("m")
+            )
+
+        got_t = _tm(read_tiles(spark_c, planet))
+        want_t = _tm(spark_c.read.parquet(os.path.join(full_dir, "tiles")))
+        n_diff = (
+            got_t.exceptAll(want_t).count() + want_t.exceptAll(got_t).count()
+        )
+        timings["compact_stream_identity"] = n_diff == 0
+        timings["compact_stream_tiles"] = got_t.count()
         spark_c.stop()
 
         # representative oracle queries at sf_dir
@@ -489,6 +664,19 @@ def main() -> None:
         n_groups = dedup_groups(cc_edges).where("is_canonical = 1").count()
         timings["cc_1m8_edges_sec"] = round(time.time() - t0, 3)
         timings["cc_1m8_edges_groups"] = n_groups  # expect 210,000
+
+        # rate-controlled stateful streaming: 12 x 50k-row micro-batches
+        timings["calib_streaming"] = _calib_hilbert_once()
+        timings.update(_streaming_rate_bench(spark, tmp_root))
+        timings["streaming_asof_rows_per_sec_norm"] = round(
+            timings["streaming_asof_rows_per_sec"] * timings["calib_streaming"],
+            1,
+        )
+        timings["streaming_sessionize_rows_per_sec_norm"] = round(
+            timings["streaming_sessionize_rows_per_sec"]
+            * timings["calib_streaming"],
+            1,
+        )
         spark.stop()
 
         # mixed build: nodes + ways + relations + externals through the

@@ -22,11 +22,16 @@ from ..operators.geotag import geotag
 from ..sources.pages import PAGES_SCHEMA
 
 
-def read_pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:
-    """File-source stream of page parquet drops (new files = new pages)."""
+def read_pages_stream(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int = 64
+) -> DataFrame:
+    """File-source stream of page parquet drops (new files = new pages).
+    ``max_files_per_trigger`` bounds each micro-batch; with
+    availableNow it also sets the batch cadence for a backlog drain
+    (one batch per file at 1 — the rate-controlled bench shape)."""
     return (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(pages_dir)
     )
 
@@ -172,6 +177,7 @@ def run_dirty_tile_log(
     checkpoint_dir: str,
     leaf_zoom: int = 12,
     await_termination: bool = True,
+    max_files_per_trigger: int = 64,
 ):
     """Streaming dirty-tile invalidation log: per micro-batch, append
     the distinct (zoom, tile_h) set that batch's pages invalidate,
@@ -188,7 +194,9 @@ def run_dirty_tile_log(
     """
     from pyspark.sql import functions as F
 
-    stream = incremental_points(read_pages_stream(spark, pages_dir))
+    stream = incremental_points(
+        read_pages_stream(spark, pages_dir, max_files_per_trigger)
+    )
 
     def log_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -236,6 +244,7 @@ def run_incremental_build(
     await_termination: bool = True,
     defer_zoom_below: int | None = None,
     flush_every: int | None = None,
+    max_files_per_trigger: int = 64,
 ):
     """Continuously-maintained tile pyramid: each page micro-batch folds
     into the planet via ``plans.compaction.compact_planet`` (dirty-tile
@@ -324,7 +333,7 @@ def run_incremental_build(
                 flush_deferred(spark, planet_dir, config)
 
     q = (
-        read_pages_stream(spark, pages_dir)
+        read_pages_stream(spark, pages_dir, max_files_per_trigger)
         .writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
