@@ -3357,6 +3357,46 @@ def q59_sql(sf_dir: str) -> str:
     )
 
 
+def q60_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (``operators/bloom.py``):
+    batch docs (doc_id % 4 == 3) dedup against the resident corpus
+    (the rest) on a 3-word text-prefix key. The filter builds in one
+    resident scan (partial bitmaps per partition, driver OR) and the
+    batch probes it map-side; only the might-contain sliver takes the
+    exact anti-join. exact=True makes the result EQUAL to the plain
+    LEFT ANTI JOIN — which is the oracle — while the steady-state
+    streaming mode (exact=False, tested in test_bloom) never touches
+    the resident table per batch."""
+    from pvt_spark.operators.bloom import bloom_build, bloom_new_rows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias(
+            "pfx"
+        ),
+    )
+    batch = d.where(F.col("doc_id") % 4 == 3)
+    resident = d.where(F.col("doc_id") % 4 != 3)
+    bloom = bloom_build(resident, "pfx", expected=400, fpp=0.01)
+    new = bloom_new_rows(batch, resident, "pfx", bloom=bloom, exact=True)
+    return new.select("doc_id", "pfx").orderBy("doc_id")
+
+
+Q60_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         array_to_string((string_split(text, ' '))[1:3], ' ') AS pfx
+  FROM documents),
+b AS (SELECT * FROM d WHERE doc_id % 4 = 3),
+r AS (SELECT pfx FROM d WHERE doc_id % 4 <> 3)
+SELECT doc_id, pfx
+FROM b
+WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.pfx = b.pfx)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3428,6 +3468,7 @@ REGISTRY: dict[str, tuple] = {
     # q59's oracle is a CALLABLE (sf_dir -> SQL): the independent
     # scalar BPE replay's counts are pinned as VALUES (q30 pattern)
     "q59_bpe_subword": (q59_bpe_subword, q59_sql),
+    "q60_bloom_dedup": (q60_bloom_dedup, Q60_SQL),
 }
 
 # --- Driver-gate ordering -------------------------------------------------
@@ -3443,6 +3484,7 @@ REGISTRY: dict[str, tuple] = {
 # the committed full-registry self-run (scripts/oracle_check.py ->
 # BENCH/CORRECTNESS_SELF_r*.json) and the pytest oracle tests.
 _GATE_FIRST = [
+    "q60_bloom_dedup",
     "q59_bpe_subword",
     "q51_range_join",
     "q52_radius_join",
