@@ -3397,6 +3397,122 @@ ORDER BY doc_id
 """
 
 
+Q61_M, Q61_KSUB, Q61_ITERS, Q61_K = 8, 16, 2, 5
+
+
+def q61_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (``operators/pq.py``): integer PQ
+    codebooks trained over the milli-quantized embeddings (md5-ordered
+    deterministic init, integer Lloyd updates — bit-identical across
+    partitionings), every vector encoded to m=8 code ids, then ADC
+    top-5 for the vec_id%100==7 queries via per-query integer lookup
+    tables. The oracle replays the ENTIRE ladder (init, 2 Lloyd
+    rounds, encode, ADC, top-k) with an independently-written scalar
+    twin and pins the result as VALUES (q30/q59 pattern) — certifying
+    the compressed-domain search exactly, not approximately."""
+    from .operators.pq import pq_adc_topk, pq_encode, pq_train, quantize_expr
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id", F.expr(quantize_expr("embedding")).alias("qv")
+    )
+    cb = pq_train(qv, m=Q61_M, ksub=Q61_KSUB, iters=Q61_ITERS)
+    codes = pq_encode(qv, cb).select("vec_id", "codes")
+    queries = qv.where(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), "qv"
+    )
+    return (
+        pq_adc_topk(codes, cb, queries, k=Q61_K)
+        .select("query_id", "rank", "vec_id", "adc_d2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _q61_ref_rows(sf_dir: str) -> list[tuple[int, int, int, int]]:
+    """Independent scalar PQ replay for the q61 oracle: pure-python
+    integer Lloyd/encode/ADC over DuckDB-quantized vectors (DuckDB does
+    the milli rounding so the integer domain is the certified one)."""
+    import hashlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, list_transform(embedding,"
+        " e -> CAST(round(e * 1000) AS BIGINT)) AS qv"
+        f" FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    m, ksub, iters, k = Q61_M, Q61_KSUB, Q61_ITERS, Q61_K
+    vecs = {int(v): [int(x) for x in e] for v, e in rows}
+    d = len(next(iter(vecs.values())))
+    dsub = d // m
+    init_ids = sorted(
+        vecs, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[: ksub]
+    cb = [
+        [vecs[i][j * dsub : (j + 1) * dsub] for i in init_ids]
+        for j in range(m)
+    ]
+
+    def assign(vec):
+        out = []
+        for j in range(m):
+            vj = vec[j * dsub : (j + 1) * dsub]
+            best_d, best_c = None, None
+            for c, cent in enumerate(cb[j]):
+                dd = sum((a - b) * (a - b) for a, b in zip(vj, cent))
+                if best_d is None or dd < best_d:
+                    best_d, best_c = dd, c
+            out.append(best_c)
+        return out
+
+    for _ in range(iters):
+        sums: dict = {}
+        for vec in vecs.values():
+            for j, c in enumerate(assign(vec)):
+                sv, n = sums.setdefault((j, c), ([0] * dsub, [0]))
+                for t in range(dsub):
+                    sv[t] += vec[j * dsub + t]
+                n[0] += 1
+        for (j, c), (sv, n) in sums.items():
+            cb[j][c] = [
+                (abs(s) // n[0] if s >= 0 else -(abs(s) // n[0])) for s in sv
+            ]
+    codes = {v: assign(vec) for v, vec in vecs.items()}
+    out = []
+    for q in sorted(v for v in vecs if v % 100 == 7):
+        qvec = vecs[q]
+        lut = [
+            [
+                sum(
+                    (qvec[j * dsub + t] - cb[j][c][t]) ** 2
+                    for t in range(dsub)
+                )
+                for c in range(len(cb[j]))
+            ]
+            for j in range(m)
+        ]
+        scored = sorted(
+            (sum(lut[j][codes[v][j]] for j in range(m)), v) for v in vecs
+        )
+        for rank, (d2, v) in enumerate(scored[:k], 1):
+            out.append((q, rank, v, d2))
+    return out
+
+
+def q61_sql(sf_dir: str) -> str:
+    """DuckDB oracle for q61: the scalar PQ replay pinned as VALUES."""
+    vals = ",\n".join(
+        f"({q}, {r}, {v}, {d2})" for q, r, v, d2 in _q61_ref_rows(sf_dir)
+    )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + vals
+        + "\n) AS t(query_id, rank, vec_id, adc_d2)\nORDER BY query_id, rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3469,6 +3585,8 @@ REGISTRY: dict[str, tuple] = {
     # scalar BPE replay's counts are pinned as VALUES (q30 pattern)
     "q59_bpe_subword": (q59_bpe_subword, q59_sql),
     "q60_bloom_dedup": (q60_bloom_dedup, Q60_SQL),
+    # q61's oracle is a CALLABLE: independent scalar PQ replay as VALUES
+    "q61_pq_topk": (q61_pq_topk, q61_sql),
 }
 
 # --- Driver-gate ordering -------------------------------------------------
@@ -3484,6 +3602,7 @@ REGISTRY: dict[str, tuple] = {
 # the committed full-registry self-run (scripts/oracle_check.py ->
 # BENCH/CORRECTNESS_SELF_r*.json) and the pytest oracle tests.
 _GATE_FIRST = [
+    "q61_pq_topk",
     "q60_bloom_dedup",
     "q59_bpe_subword",
     "q51_range_join",
