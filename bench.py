@@ -637,6 +637,41 @@ def main() -> None:
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
 
+        # IVF-PQ: the compressed-domain search over the same 100k
+        # vectors — codes are 8 bytes/vector (vs 512 B float64), ADC
+        # scans never read the float table, exact re-rank of the ADC
+        # top-50 restores recall at 50*Q point lookups
+        from pvt_spark.operators.pq import (
+            ivfpq_search,
+            pq_encode,
+            pq_train,
+            quantize_expr,
+        )
+
+        qints = vecs.selectExpr("vec_id", quantize_expr("vec") + " as qv")
+        t0 = time.time()
+        pq_cb = pq_train(qints, m=8, ksub=256, iters=2)
+        timings["pq_100k_train_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        assigned_codes = pq_encode(
+            assigned.selectExpr(
+                "vec_id", "centroid_id", quantize_expr("vec") + " as qv"
+            ),
+            pq_cb,
+        ).select("vec_id", "centroid_id", "codes").localCheckpoint(eager=True)
+        timings["pq_100k_encode_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        pq_top = ivfpq_search(
+            assigned_codes, cents, pq_cb, qs, nprobe=8, k=10,
+            rerank=50, vectors=vecs,
+        ).collect()
+        timings["ivfpq_100k_search20_sec"] = round(time.time() - t0, 3)
+        got_pq: dict[int, set] = {}
+        for r in pq_top:
+            got_pq.setdefault(r.query_id, set()).add(r.vec_id)
+        rec_pq = [len(got_pq.get(q, set()) & w) / len(w) for q, w in want.items()]
+        timings["ivfpq_100k_recall_at_10"] = round(sum(rec_pq) / len(rec_pq), 3)
+
         # dedup grouping at web-dup shape: 1.84M candidate edges =
         # 200k stars of 10 docs (the dominant real LSH shape) + 10k
         # chains of 5 (diameter 4 forces multiple supersteps). The CC
