@@ -246,6 +246,30 @@ def brute_topk(
     )
 
 
+def _pq_codebook_to_df(spark, codebook):
+    rows = [
+        (j, c, [int(x) for x in codebook.codes[j, c]])
+        for j in range(codebook.m)
+        for c in range(codebook.ksub)
+    ]
+    return spark.createDataFrame(rows, "j int, code int, cv array<bigint>")
+
+
+def _pq_codebook_from_df(df):
+    import numpy as np
+
+    from .pq import PQCodebook
+
+    rows = df.collect()
+    m = max(r.j for r in rows) + 1
+    ksub = max(r.code for r in rows) + 1
+    dsub = len(rows[0].cv)
+    codes = np.zeros((m, ksub, dsub), dtype=np.int64)
+    for r in rows:
+        codes[r.j, r.code] = r.cv
+    return PQCodebook(codes=codes)
+
+
 def ivf_index_build(
     vectors: DataFrame,
     index_dir: str,
@@ -254,6 +278,9 @@ def ivf_index_build(
     fit_fraction: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    pq_m: int | None = None,
+    pq_ksub: int = 256,
+    pq_iters: int = 2,
 ) -> dict:
     """Persist an IVF index: centroids + the vector table partitioned
     BY CELL, so a search's probe set prunes at the directory level —
@@ -267,6 +294,12 @@ def ivf_index_build(
     ``<index_dir>/centroids``, ``<index_dir>/vectors`` (partitioned by
     ``centroid_id``), and an ``_index.json`` descriptor; returns the
     descriptor.
+
+    ``pq_m``: also train an integer PQ codebook (operators/pq) on the
+    fit subset and store an m-byte ``codes`` column next to every
+    vector, plus ``<index_dir>/pq_codebook``. Search can then run in
+    the compressed domain (``ivf_index_search(mode="adc")``) reading
+    only the codes of the probed cells.
     """
     import json
     import math
@@ -290,6 +323,22 @@ def ivf_index_build(
     cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    if pq_m is not None:
+        from .pq import pq_encode, pq_train, quantize_expr
+
+        qexpr = quantize_expr(vec_col)
+        codebook = pq_train(
+            fit_input.selectExpr(id_col, f"{qexpr} as __qv"),
+            m=pq_m, ksub=pq_ksub, iters=pq_iters,
+            id_col=id_col, vec_col="__qv",
+        )
+        _pq_codebook_to_df(spark, codebook).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "pq_codebook")
+        )
+        assigned = pq_encode(
+            assigned.withColumn("__qv", F.expr(qexpr)),
+            codebook, id_col=id_col, vec_col="__qv",
+        ).drop("__qv")
     (
         assigned.repartition("centroid_id")
         .write.mode("overwrite")
@@ -305,6 +354,8 @@ def ivf_index_build(
         "fit_fraction": fit_fraction,
         "id_col": id_col,
         "vec_col": vec_col,
+        "pq_m": pq_m,
+        "pq_ksub": pq_ksub if pq_m is not None else None,
         "build_sec": round(time.time() - t0, 3),
     }
     with open(os.path.join(index_dir, "_index.json"), "w") as f:
@@ -355,6 +406,18 @@ def ivf_index_append(
         return desc
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     assigned = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
+    if desc.get("pq_m"):
+        # the PQ codebook is as frozen as the centroids: new vectors
+        # encode against it so the appended rows stay ADC-searchable
+        from .pq import pq_encode, quantize_expr
+
+        codebook = _pq_codebook_from_df(
+            spark.read.parquet(os.path.join(index_dir, "pq_codebook"))
+        )
+        assigned = pq_encode(
+            assigned.withColumn("__qv", F.expr(quantize_expr(vec_col))),
+            codebook, id_col=id_col, vec_col="__qv",
+        ).drop("__qv")
     (
         assigned.repartition("centroid_id")
         .write.mode("append")
@@ -378,12 +441,21 @@ def ivf_index_search(
     nprobe: int = 8,
     k: int = 10,
     query_id_col: str = "query_id",
+    mode: str = "float",
+    rerank: int | None = None,
 ) -> DataFrame:
     """Search a persisted IVF index. The probe cells (nprobe nearest
     centroids per query, a tiny driver-side set) become a STATIC
     ``centroid_id IN (...)`` predicate on the partitioned vector
     table, so the scan reads only the probed cells' directories —
-    with sqrt(N) cells and Q queries, at most Q*nprobe of them."""
+    with sqrt(N) cells and Q queries, at most Q*nprobe of them.
+
+    ``mode="float"`` (default): exact dot-product over the probed
+    cells' float vectors, ranked desc. ``mode="adc"`` (requires a
+    ``pq_m`` build): ADC over the stored m-byte codes — the probed
+    scan reads only (id, centroid_id, codes) columns, never the float
+    vectors; optional ``rerank=R`` re-scores the ADC top-R with exact
+    integer L2 (columns: query_id, vec_id, adc_d2[, d2], rank asc)."""
     import json
     import os
 
@@ -405,6 +477,29 @@ def ivf_index_search(
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
         F.col("centroid_id").isin(cells)
     )
+    if mode == "adc":
+        if not desc.get("pq_m"):
+            raise ValueError("adc mode needs an index built with pq_m")
+        from .pq import ivfpq_search, quantize_expr
+
+        codebook = _pq_codebook_from_df(
+            spark.read.parquet(os.path.join(index_dir, "pq_codebook"))
+        )
+        return ivfpq_search(
+            vecs.select(id_col, "centroid_id", "codes"),
+            cents,
+            codebook,
+            queries,
+            nprobe=nprobe,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            rerank=rerank,
+            vectors=vecs.select(id_col, vec_col) if rerank else None,
+        )
+    if mode != "float":
+        raise ValueError(f"unsupported mode={mode}")
     dot = _dot(vec_col, "qv")
     wk = Window.partitionBy(query_id_col).orderBy(F.desc("dot"), F.asc(id_col))
     return (

@@ -152,6 +152,75 @@ def test_ivfpq_recall_clustered(spark):
     assert recall(reranked) >= 0.8, recall(reranked)
 
 
+def test_persisted_pq_index_and_append(spark, tmp_path):
+    """IVF index built with pq_m: codes stored per vector, ADC search
+    reads the compressed domain, append encodes against the frozen
+    codebook, appended vectors are immediately ADC-searchable."""
+    import json
+    import os
+
+    from pvt_spark.operators.ann import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    center = "cast(pmod(xxhash64(id % 12, j, 7), 1000) as double) / 500.0 - 1.0"
+    noise = "(cast(pmod(xxhash64(id, j, 8), 1000) as double) / 500.0 - 1.0) * 0.1"
+
+    def mk(n):
+        return (
+            spark.range(n)
+            .selectExpr(
+                "id as vec_id",
+                f"transform(sequence(0, 15), j -> {center} + {noise}) as raw",
+            )
+            .selectExpr(
+                "vec_id",
+                "transform(raw, x -> x / sqrt(aggregate(transform(raw,"
+                " y -> y * y), 0.0D, (a, v) -> a + v))) as vec",
+            )
+        )
+
+    idx = str(tmp_path / "ivfpq")
+    desc = ivf_index_build(mk(1500), idx, iters=1, pq_m=8, pq_ksub=16)
+    assert desc["pq_m"] == 8 and desc["pq_ksub"] == 16
+    stored = spark.read.parquet(os.path.join(idx, "vectors"))
+    assert "codes" in stored.columns
+    assert stored.where(F.size("codes") != 8).count() == 0
+
+    queries = (
+        mk(1500).where("vec_id % 300 = 7")
+        .selectExpr("vec_id as query_id", "vec")
+    )
+    # float mode still works on a PQ build
+    fl = ivf_index_search(spark, idx, queries, nprobe=4, k=5)
+    assert fl.count() == 25
+    # adc + rerank: every query's own vector is its rank-1 hit (exact
+    # integer L2 re-rank, self distance 0)
+    rr = ivf_index_search(
+        spark, idx, queries, nprobe=4, k=5, mode="adc", rerank=30
+    ).collect()
+    top1 = {r.query_id: r.vec_id for r in rr if r.rank == 1}
+    assert top1 == {q: q for q in top1}
+    assert len(rr) == 25 and {"adc_d2", "d2"} <= {c for c in rr[0].asDict()}
+
+    # append: frozen centroids AND frozen codebook
+    batch = mk(1800).where("vec_id >= 1500")
+    d2 = ivf_index_append(spark, idx, batch)
+    assert d2["n_vectors"] == 1800
+    stored2 = spark.read.parquet(os.path.join(idx, "vectors"))
+    assert stored2.where(F.col("codes").isNull()).count() == 0
+    self_q = batch.where("vec_id = 1600").selectExpr(
+        "vec_id as query_id", "vec"
+    )
+    hit = ivf_index_search(
+        spark, idx, self_q, nprobe=2, k=1, mode="adc", rerank=20
+    ).collect()
+    assert len(hit) == 1 and hit[0].vec_id == 1600
+    assert json.load(open(os.path.join(idx, "_index.json")))["pq_m"] == 8
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
