@@ -3513,6 +3513,47 @@ def q61_sql(sf_dir: str) -> str:
     )
 
 
+def q62_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph triangle counts (``operators/graph.triangle_count``):
+    the q48 quadratic-map link graph, undirected-simplified, counted by
+    degree orientation — each triangle exactly once, wedge fan-out
+    bounded by oriented out-degree (no hub explosion). The oracle
+    re-derives the same graph with the same literal SQL and counts
+    triangles with a plain three-way self-join on id order (a DIFFERENT
+    enumeration order — the triangle set is orientation-invariant)."""
+    from .operators.graph import triangle_count
+
+    (docs,) = load(spark, sf_dir, "documents")
+    edges = docs.selectExpr(
+        "doc_id % 50 AS src",
+        "explode(array((doc_id * doc_id * 3 + doc_id * 7 + 3) % 50, "
+        "(doc_id * doc_id * 5 + doc_id * 11 + 7) % 50)) AS dst",
+    ).where("src != dst")
+    return triangle_count(edges).orderBy("node")
+
+
+Q62_SQL = """
+WITH raw AS (
+  SELECT doc_id % 50 AS src,
+         unnest([(doc_id * doc_id * 3 + doc_id * 7 + 3) % 50,
+                 (doc_id * doc_id * 5 + doc_id * 11 + 7) % 50]) AS dst
+  FROM documents),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+n AS (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t)
+SELECT node, COUNT(*) AS triangles FROM n GROUP BY node ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3587,6 +3628,7 @@ REGISTRY: dict[str, tuple] = {
     "q60_bloom_dedup": (q60_bloom_dedup, Q60_SQL),
     # q61's oracle is a CALLABLE: independent scalar PQ replay as VALUES
     "q61_pq_topk": (q61_pq_topk, q61_sql),
+    "q62_host_triangles": (q62_host_triangles, Q62_SQL),
 }
 
 # --- Driver-gate ordering -------------------------------------------------
@@ -3602,6 +3644,7 @@ REGISTRY: dict[str, tuple] = {
 # the committed full-registry self-run (scripts/oracle_check.py ->
 # BENCH/CORRECTNESS_SELF_r*.json) and the pytest oracle tests.
 _GATE_FIRST = [
+    "q62_host_triangles",
     "q61_pq_topk",
     "q60_bloom_dedup",
     "q59_bpe_subword",
