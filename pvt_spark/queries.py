@@ -3554,6 +3554,62 @@ SELECT node, COUNT(*) AS triangles FROM n GROUP BY node ORDER BY node
 """
 
 
+def q63_daily_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily resample with zero-filled gaps and forward
+    fill (``operators/temporal.resample_daily``): every (type, day) of
+    the global span, n_events + exact milli value sums, empty days
+    carrying the last non-empty day's sum. The oracle runs the SAME
+    carry-group ladder over a generate_series grid in DuckDB."""
+    from .operators.temporal import resample_daily
+
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        resample_daily(events, "event_type", "ts", "value")
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("day").cast("string").alias("day"),
+            "n_events",
+            "sum_value_milli",
+            "filled_sum_milli",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+Q63_SQL = """
+WITH pd AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2),
+span AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+         FROM events),
+grid AS (
+  SELECT k.key, g.day
+  FROM (SELECT DISTINCT event_type AS key FROM events) k,
+       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM span) g),
+filled AS (
+  SELECT grid.key, grid.day,
+         COALESCE(pd.n_events, 0) AS n_events,
+         COALESCE(pd.s, 0) AS sum_value_milli
+  FROM grid LEFT JOIN pd ON pd.key = grid.key AND pd.day = grid.day),
+grp AS (
+  SELECT *, SUM(CASE WHEN n_events > 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY key ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS g
+  FROM filled)
+SELECT key AS event_type, CAST(day AS VARCHAR) AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(sum_value_milli AS BIGINT) AS sum_value_milli,
+       CAST(COALESCE(MAX(CASE WHEN n_events > 0 THEN sum_value_milli END)
+                       OVER (PARTITION BY key, g), 0) AS BIGINT)
+         AS filled_sum_milli
+FROM grp
+ORDER BY event_type, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3629,6 +3685,7 @@ REGISTRY: dict[str, tuple] = {
     # q61's oracle is a CALLABLE: independent scalar PQ replay as VALUES
     "q61_pq_topk": (q61_pq_topk, q61_sql),
     "q62_host_triangles": (q62_host_triangles, Q62_SQL),
+    "q63_daily_resample": (q63_daily_resample, Q63_SQL),
 }
 
 # --- Driver-gate ordering -------------------------------------------------
@@ -3644,6 +3701,7 @@ REGISTRY: dict[str, tuple] = {
 # the committed full-registry self-run (scripts/oracle_check.py ->
 # BENCH/CORRECTNESS_SELF_r*.json) and the pytest oracle tests.
 _GATE_FIRST = [
+    "q63_daily_resample",
     "q62_host_triangles",
     "q61_pq_topk",
     "q60_bloom_dedup",
