@@ -306,3 +306,52 @@ def resample_daily(
         )
         .drop("_grp")
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-order funnel: per key, the earliest completion chain of
+    ``steps`` — step k's timestamp is the MINIMUM event of that type
+    strictly after step k-1's timestamp (step 1: the global minimum of
+    its type). Output: one row per key that reached step 1, with
+    ``step_1_us .. step_n_us`` (micros; NULL from the first missed step
+    onward) — the canonical conversion-funnel semantics (earliest-
+    possible chain, which maximizes completion).
+
+    Scale shape: no per-key ordered scan over raw events. Each phase
+    filters events to ONE step type (pushed to the scan), joins the
+    per-key frontier table (|keys| rows, broadcastable against the
+    event table) and takes a min aggregate — k-1 equi-joins on the key,
+    each moving only per-key rows plus one filtered event subset.
+    """
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("t"),
+        us.alias("us"),
+    )
+    frontier = (
+        base.where(F.col("t") == steps[0])
+        .groupBy("key")
+        .agg(F.min("us").alias("step_1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            base.where(F.col("t") == step)
+            .join(
+                frontier.select("key", F.col(f"step_{i-1}_us").alias("_prev")),
+                "key",
+            )
+            .where(F.col("us") > F.col("_prev"))
+            .groupBy("key")
+            .agg(F.min("us").alias(f"step_{i}_us"))
+        )
+        frontier = frontier.join(nxt, "key", "left")
+    return frontier

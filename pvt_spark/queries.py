@@ -3610,6 +3610,46 @@ ORDER BY event_type, day
 """
 
 
+def q64_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view -> click -> purchase
+    (``operators/temporal.funnel_steps``): per user the earliest
+    completion chain (each step's ts is the min of its type strictly
+    after the previous step), emitting users who reached step 1 with
+    per-step micros and the completion lag. The oracle runs the same
+    min-after-frontier ladder in DuckDB."""
+    from .operators.temporal import funnel_steps
+
+    (events,) = load(spark, sf_dir, "events")
+    out = funnel_steps(events, ["view", "click", "purchase"])
+    return out.select(
+        F.col("key").alias("user_id"),
+        "step_1_us",
+        "step_2_us",
+        "step_3_us",
+        (F.col("step_3_us") - F.col("step_1_us")).alias("funnel_lag_us"),
+    ).orderBy("user_id")
+
+
+Q64_SQL = """
+WITH base AS (
+  SELECT user_id AS key, event_type AS t, epoch_us(ts) AS us FROM events),
+s1 AS (
+  SELECT key, MIN(us) AS step_1_us FROM base WHERE t = 'view' GROUP BY key),
+s2 AS (
+  SELECT b.key, MIN(b.us) AS step_2_us
+  FROM base b JOIN s1 ON s1.key = b.key
+  WHERE b.t = 'click' AND b.us > s1.step_1_us GROUP BY b.key),
+s3 AS (
+  SELECT b.key, MIN(b.us) AS step_3_us
+  FROM base b JOIN s2 ON s2.key = b.key
+  WHERE b.t = 'purchase' AND b.us > s2.step_2_us GROUP BY b.key)
+SELECT s1.key AS user_id, s1.step_1_us, s2.step_2_us, s3.step_3_us,
+       s3.step_3_us - s1.step_1_us AS funnel_lag_us
+FROM s1 LEFT JOIN s2 ON s2.key = s1.key LEFT JOIN s3 ON s3.key = s1.key
+ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3686,6 +3726,7 @@ REGISTRY: dict[str, tuple] = {
     "q61_pq_topk": (q61_pq_topk, q61_sql),
     "q62_host_triangles": (q62_host_triangles, Q62_SQL),
     "q63_daily_resample": (q63_daily_resample, Q63_SQL),
+    "q64_funnel": (q64_funnel, Q64_SQL),
 }
 
 # --- Driver-gate ordering -------------------------------------------------
@@ -3701,6 +3742,7 @@ REGISTRY: dict[str, tuple] = {
 # the committed full-registry self-run (scripts/oracle_check.py ->
 # BENCH/CORRECTNESS_SELF_r*.json) and the pytest oracle tests.
 _GATE_FIRST = [
+    "q64_funnel",
     "q63_daily_resample",
     "q62_host_triangles",
     "q61_pq_topk",
