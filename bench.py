@@ -661,9 +661,12 @@ def main() -> None:
         ).select("vec_id", "centroid_id", "codes").localCheckpoint(eager=True)
         timings["pq_100k_encode_sec"] = round(time.time() - t0, 3)
         t0 = time.time()
+        # rerank depth 200: measured recall@10 0.695 -> 0.990 over
+        # rerank=50 at IDENTICAL wall (the re-rank is 200*Q point
+        # lookups — noise next to the ADC scan)
         pq_top = ivfpq_search(
             assigned_codes, cents, pq_cb, qs, nprobe=8, k=10,
-            rerank=50, vectors=vecs,
+            rerank=200, vectors=vecs,
         ).collect()
         timings["ivfpq_100k_search20_sec"] = round(time.time() - t0, 3)
         got_pq: dict[int, set] = {}
