@@ -3650,6 +3650,122 @@ ORDER BY user_id
 """
 
 
+def q65_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring in exact integers: a
+    word-bigram LM with add-one smoothing trained on the first 200
+    docs, scoring every doc by average integer "surprise" —
+    ``surprise(w1, w2) = (c1(w1) + V) * 1000 div (c12(w1, w2) + 1)``,
+    the integer reciprocal of the Laplace bigram probability (monotone
+    in -log p, exact in int64, so the oracle replays it bit-for-bit; a
+    float log-perplexity would hang certification on libm ulps).
+    High surprise = improbable text under the in-domain LM — the
+    filter direction CCNet/RefinedWeb use for quality.
+
+    Scale shape: the count tables are vocabulary-sized (Heaps' law) —
+    they BROADCAST; scoring is one bigram explode over the corpus, two
+    broadcast joins, one groupBy(doc). No corpus-sized shuffle beyond
+    the per-doc aggregate."""
+    (docs,) = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), w -> w != '')").alias("ws"),
+    )
+    train = words.where(F.col("doc_id") < 200)
+    uni = (
+        train.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    # CASE guard: sequence(1, 0) is DESCENDING in Spark (the q42 trap),
+    # so sub-2-word docs must short-circuit to an empty array
+    big_expr = (
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(ws[i - 1], ' ', ws[i])) "
+        "ELSE array() END"
+    )
+    bi = (
+        train.select(F.explode(F.expr(big_expr)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    v = uni.count()
+    scored = (
+        words.select(
+            "doc_id", F.explode(F.expr(big_expr)).alias("b")
+        )
+        .withColumn("w1", F.expr("split(b, ' ')[0]"))
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left")
+        .join(F.broadcast(bi), "b", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                f"(coalesce(c1, 0L) + {v}) * 1000 div (coalesce(c12, 0L) + 1)"
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(s) div count(1)").alias("avg_surprise_milli"),
+        )
+    )
+    # docs too short for a bigram still appear, scored 0
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("avg_surprise_milli", F.lit(0)).alias(
+                "avg_surprise_milli"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q65_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents),
+train AS (SELECT * FROM w WHERE doc_id < 200),
+uni AS (
+  SELECT u.w1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM train, unnest(train.ws) AS u(w1) GROUP BY u.w1),
+v AS (SELECT COUNT(*) AS v FROM uni),
+bi AS (
+  SELECT b.b, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM train,
+       unnest(list_transform(range(1, greatest(len(train.ws), 1)),
+                             i -> ws[i] || ' ' || ws[i + 1])) AS b(b)
+  GROUP BY b.b),
+doc_bi AS (
+  SELECT w.doc_id, b.b, string_split(b.b, ' ')[1] AS w1
+  FROM w,
+       unnest(list_transform(range(1, greatest(len(w.ws), 1)),
+                             i -> ws[i] || ' ' || ws[i + 1])) AS b(b)),
+scored AS (
+  SELECT d.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM((COALESCE(uni.c1, 0) + v.v) * 1000
+                  // (COALESCE(bi.c12, 0) + 1))
+              // COUNT(*) AS BIGINT) AS avg_surprise_milli
+  FROM doc_bi d
+  CROSS JOIN v
+  LEFT JOIN uni ON uni.w1 = d.w1
+  LEFT JOIN bi ON bi.b = d.b
+  GROUP BY d.doc_id)
+SELECT docs.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.avg_surprise_milli, 0) AS BIGINT)
+         AS avg_surprise_milli
+FROM (SELECT doc_id FROM documents) docs
+LEFT JOIN scored s ON s.doc_id = docs.doc_id
+ORDER BY docs.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3727,6 +3843,7 @@ REGISTRY: dict[str, tuple] = {
     "q62_host_triangles": (q62_host_triangles, Q62_SQL),
     "q63_daily_resample": (q63_daily_resample, Q63_SQL),
     "q64_funnel": (q64_funnel, Q64_SQL),
+    "q65_lm_surprise": (q65_lm_surprise, Q65_SQL),
 }
 
 # --- Driver-gate ordering -------------------------------------------------
@@ -3742,6 +3859,7 @@ REGISTRY: dict[str, tuple] = {
 # the committed full-registry self-run (scripts/oracle_check.py ->
 # BENCH/CORRECTNESS_SELF_r*.json) and the pytest oracle tests.
 _GATE_FIRST = [
+    "q65_lm_surprise",
     "q64_funnel",
     "q63_daily_resample",
     "q62_host_triangles",
