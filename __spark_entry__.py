@@ -28,6 +28,18 @@
   and its geo composition: URL canonicalization, SemDeDup semantic
   dedup (independent recursive-CTE closure), the one-scan curation
   funnel, and zonal statistics over the partitioned PIP join.
+  q50-q57 certify the temporal/spatial/statistical join suite (as-of,
+  banded range, radius, MBR-overlap, group quantiles, salted top-k,
+  the STREAMING as-of replay, mutual nearest neighbors); q58 the
+  hot-key pre-split as-of plan against q50's oracle. Round-5 classes:
+  q59 learned merge-table BPE (independent scalar replay as VALUES),
+  q60 broadcast-Bloom incremental dedup (== LEFT ANTI JOIN), q61
+  exact-integer product quantization + ADC top-k (the entire
+  init/Lloyd/encode/ADC ladder replayed scalar-side as VALUES), q62
+  degree-orientation triangle counting (oracle enumerates in a
+  different order), q63 daily resample with gap/forward fill, q64
+  strict-order conversion funnel, q65 integer bigram LM surprise
+  (CCNet-style quality filter, exact in int64).
 """
 
 from __future__ import annotations

@@ -459,6 +459,17 @@ def main() -> None:
             # stateful streaming: as-of over a checkpointed availableNow
             # replay (two runs + watermark flush inside the query)
             "q56_streaming_asof",
+            # round-5 classes: hot-key-split as-of, learned BPE,
+            # bloom dedup, integer PQ/ADC, triangles, resample, funnel,
+            # LM surprise
+            "q58_asof_split",
+            "q59_bpe_subword",
+            "q60_bloom_dedup",
+            "q61_pq_topk",
+            "q62_host_triangles",
+            "q63_daily_resample",
+            "q64_funnel",
+            "q65_lm_surprise",
         ]
         for name in bench_queries:
             fn, _sql = REGISTRY[name]
