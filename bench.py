@@ -634,8 +634,10 @@ def main() -> None:
 
         idx_dir = tempfile.mkdtemp(prefix="ivf_idx_")
         try:
+            # pq_m=8: the index also stores 8-byte PQ codes + codebook,
+            # so the same build serves float AND compressed-domain search
             t0 = time.time()
-            ivf_index_build(vecs, idx_dir, fit_fraction=0.1)
+            ivf_index_build(vecs, idx_dir, fit_fraction=0.1, pq_m=8)
             timings["ivf_index_build_sec"] = round(time.time() - t0, 3)
             t0 = time.time()
             idx_top = ivf_index_search(spark, idx_dir, qs, nprobe=8, k=10).collect()
@@ -645,6 +647,19 @@ def main() -> None:
                 got_i.setdefault(r.query_id, set()).add(r.vec_id)
             rec_i = [len(got_i.get(q, set()) & w) / len(w) for q, w in want.items()]
             timings["ivf_index_recall_at_10"] = round(sum(rec_i) / len(rec_i), 3)
+            # ADC mode: probed-cell scan reads only (id, cell, codes)
+            t0 = time.time()
+            adc_top = ivf_index_search(
+                spark, idx_dir, qs, nprobe=8, k=10, mode="adc", rerank=200
+            ).collect()
+            timings["ivf_index_adc_search20_sec"] = round(time.time() - t0, 3)
+            got_a: dict[int, set] = {}
+            for r in adc_top:
+                got_a.setdefault(r.query_id, set()).add(r.vec_id)
+            rec_a = [len(got_a.get(q, set()) & w) / len(w) for q, w in want.items()]
+            timings["ivf_index_adc_recall_at_10"] = round(
+                sum(rec_a) / len(rec_a), 3
+            )
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
 
