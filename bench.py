@@ -394,6 +394,23 @@ def main() -> None:
         t0 = time.time()
         flush_deferred(spark_c, planet, BuildConfig(leaf_zoom=12))
         timings["compact_stream_final_flush"] = round(time.time() - t0, 3)
+        # per-step medians across the 10 folds (compact_planet logs a
+        # steps dict per record) — shows WHERE the per-fold wall goes
+        # (uniform synthetic dirt makes dirty_cluster the worst case:
+        # the coarse range predicate cannot prune a world-spanning set)
+        with open(os.path.join(planet, "_compaction.json")) as _f:
+            _recs = [r for r in json.load(_f) if "steps" in r][-10:]
+        if _recs:
+            _names = sorted({k for r in _recs for k in r["steps"]})
+            timings["compact_stream_step_medians"] = {
+                n: round(
+                    sorted(r["steps"].get(n, 0.0) for r in _recs)[
+                        len(_recs) // 2
+                    ],
+                    3,
+                )
+                for n in _names
+            }
 
         # byte-identity: the streamed planet == a cold rebuild over the
         # union of every page fed to it (base + the two compact deltas
