@@ -151,23 +151,72 @@ def merge_leaf_levels(
     )
 
 
+def _merge_intervals(hs: list[int], max_intervals: int) -> list[tuple[int, int]]:
+    """Cover a sorted unique int list with <= max_intervals closed
+    intervals, splitting at the LARGEST gaps (the optimal cover of
+    that size: total covered slack = sum of the kept gaps, minimized
+    by removing the biggest ones)."""
+    if not hs:
+        return []
+    if len(hs) == 1 or max_intervals <= 1:
+        return [(hs[0], hs[-1])]
+    gaps = sorted(
+        range(1, len(hs)), key=lambda i: hs[i] - hs[i - 1], reverse=True
+    )[: max_intervals - 1]
+    out = []
+    start = 0
+    for i in sorted(gaps):
+        out.append((hs[start], hs[i - 1]))
+        start = i
+    out.append((hs[start], hs[-1]))
+    return out
+
+
 def _dirty_content(
-    spark: SparkSession, content_path: str, dirty: DataFrame
+    spark: SparkSession,
+    content_path: str,
+    dirty: DataFrame,
+    max_intervals: int = 32,
+    collect_cap: int = 200_000,
 ) -> DataFrame:
     """Content rows restricted to the dirty (zoom, tile_h) set, with a
-    row-group-skipping coarse range predicate in front of the exact
-    broadcast semi-join."""
-    ranges = dirty.groupBy("zoom").agg(
-        F.min("tile_h").alias("lo"), F.max("tile_h").alias("hi")
+    row-group-skipping coarse predicate in front of the exact broadcast
+    semi-join.
+
+    The coarse predicate is per-zoom INTERVAL COVER, not one (min, max)
+    range: real dirt is spatially clustered (a re-crawl region), and
+    Hilbert clustering makes clustered tiles contiguous in tile_h, so
+    up to ``max_intervals`` largest-gap intervals per zoom let parquet
+    min/max stats skip the untouched row groups a single world-spanning
+    range cannot. Degrades gracefully: uniform dirt collapses back to
+    ~the full range (the semi-join stays exact either way), and a dirty
+    set above ``collect_cap`` keys skips the driver-side interval pass
+    and keeps the one-range form."""
+    stats = dirty.groupBy("zoom").agg(
+        F.min("tile_h").alias("lo"),
+        F.max("tile_h").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()
+    total = sum(r.n for r in stats)
+    intervals: dict[int, list[tuple[int, int]]] = {
+        r.zoom: [(r.lo, r.hi)] for r in stats
+    }
+    if 0 < total <= collect_cap:
+        by_zoom: dict[int, list[int]] = {}
+        for r in dirty.select("zoom", "tile_h").collect():
+            by_zoom.setdefault(r.zoom, []).append(r.tile_h)
+        intervals = {
+            z: _merge_intervals(sorted(set(hs)), max_intervals)
+            for z, hs in by_zoom.items()
+        }
     content = spark.read.parquet(content_path)
     coarse = None
-    for r in ranges:
-        p = (
-            (F.col("zoom") == r.zoom)
-            & (F.col("tile_h") >= r.lo)
-            & (F.col("tile_h") <= r.hi)
-        )
+    for z, ivs in intervals.items():
+        rng = None
+        for lo, hi in ivs:
+            q = (F.col("tile_h") >= lo) & (F.col("tile_h") <= hi)
+            rng = q if rng is None else (rng | q)
+        p = (F.col("zoom") == z) & rng
         coarse = p if coarse is None else (coarse | p)
     if coarse is not None:
         content = content.where(coarse)

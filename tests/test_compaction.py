@@ -220,3 +220,41 @@ def test_dirty_content_pushes_range_predicates(spark, tmp_path):
     assert "LessThanOrEqual(tile_h" in plan
     # and the exact restriction is a broadcast semi-join, not a shuffle
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_merge_intervals_unit():
+    from pvt_spark.plans.compaction import _merge_intervals
+
+    assert _merge_intervals([], 4) == []
+    assert _merge_intervals([5], 4) == [(5, 5)]
+    # splits at the two largest gaps
+    assert _merge_intervals([1, 2, 3, 100, 101, 500], 3) == [
+        (1, 3), (100, 101), (500, 500),
+    ]
+    # cap 1 collapses to the full range
+    assert _merge_intervals([1, 2, 3, 100, 101, 500], 1) == [(1, 500)]
+    # more budget than gaps: every point its own interval
+    assert _merge_intervals([1, 5, 9], 10) == [(1, 1), (5, 5), (9, 9)]
+
+
+def test_dirty_content_interval_pruning(spark, tmp_path):
+    """Clustered dirt produces a multi-interval pushed predicate; the
+    semi-join result is exactly the dirty keys' rows either way."""
+    from pvt_spark.plans.compaction import _dirty_content
+
+    content = spark.range(10_000).selectExpr(
+        "cast(12 as int) as zoom", "id as tile_h", "id as feature_id"
+    )
+    path = str(tmp_path / "content")
+    content.write.partitionBy("zoom").parquet(path)
+    # two tight clusters far apart
+    dirty = spark.createDataFrame(
+        [(12, h) for h in list(range(100, 110)) + list(range(9000, 9010))],
+        "zoom int, tile_h long",
+    )
+    got = _dirty_content(spark, path, dirty)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the pushed filter carries BOTH interval bounds, not one world range
+    assert "9000" in plan and "109" in plan, plan[:1500]
+    rows = {r.tile_h for r in got.collect()}
+    assert rows == set(range(100, 110)) | set(range(9000, 9010))
