@@ -834,7 +834,9 @@ def _phase1_points_stream(
 
 
 def points_chunks(
-    render_features: DataFrame, tolerance: float = DEFAULT_TOLERANCE
+    render_features: DataFrame,
+    tolerance: float = DEFAULT_TOLERANCE,
+    file_marker: bool = True,
 ) -> DataFrame:
     """Point fast path in all-chunks mode (CHUNK_SCHEMA) for MIXED builds:
     every tile emits mergeable chunks (no finals), so point chunks can be
@@ -842,8 +844,13 @@ def points_chunks(
 
     Input columns as ``compose_points_presorted`` (primitive-only, input
     already clustered by (zoom, tile_h)); runs shuffle-free.
+    ``file_marker=False``: the input is not a single file scan (e.g. an
+    in-memory clustered frame, where ``input_file_name()`` is undefined)
+    — batch boundaries alone delimit runs, which is safe because chunks
+    merge in phase 2 regardless of how a tile's rows split.
     """
-    with_file = render_features.withColumn("_file", F.xxhash64(F.input_file_name()))
+    marker = F.xxhash64(F.input_file_name()) if file_marker else F.lit(0)
+    with_file = render_features.withColumn("_file", marker)
     ph1 = with_file.mapInPandas(
         lambda it: _phase1_points_stream(it, tolerance, emit_finals=False),
         UNIFIED_SCHEMA,
@@ -860,6 +867,7 @@ def compose_points_presorted(
     merge_partitions: int | None = None,
     exclude_keys=None,
     extra_chunks: DataFrame | None = None,
+    file_marker: bool = True,
 ) -> DataFrame:
     """Single-point-feature compose over (zoom, tile_h)-clustered input.
 
@@ -885,8 +893,13 @@ def compose_points_presorted(
     bc_exclude = (
         spark.sparkContext.broadcast(exclude_keys) if exclude_keys is not None else None
     )
-    # equality-only marker: hash the file name to a long (cheap in Arrow)
-    with_file = render_features.withColumn("_file", F.xxhash64(F.input_file_name()))
+    # equality-only marker: hash the file name to a long (cheap in Arrow).
+    # file_marker=False (in-memory clustered input — no file names, and
+    # input_file_name() rejects multi-source plans): one run per Arrow
+    # batch; a tile split across batches yields mergeable chunks, same
+    # as a file boundary, so the payloads are unchanged.
+    marker = F.xxhash64(F.input_file_name()) if file_marker else F.lit(0)
+    with_file = render_features.withColumn("_file", marker)
     ph1 = with_file.mapInPandas(
         lambda it: _phase1_points_stream(it, tolerance, True, bc_exclude),
         UNIFIED_SCHEMA,

@@ -55,7 +55,6 @@ from ..operators.compose import (
 from ..operators.content import (
     render_content,
     tile_manifest,
-    write_content,
     zoom_metrics_from_manifest,
 )
 from ..operators.geotag import pages_to_points
@@ -85,8 +84,14 @@ def _swap_write(df: DataFrame, path: str, partition_by: str | None = None) -> No
 
 def _refresh_lineage(planet_dir: str, name: str, gen: int) -> None:
     """Keep a compacted stage's sidecar honest: recount rows from the
-    parquet footers and stamp the compaction generation."""
-    from .pipeline import _parquet_file_counts
+    parquet footers and stamp the compaction generation.
+
+    Incremental: footers already counted in the sidecar are reused (an
+    append-only stage accumulates files every fold, and re-reading every
+    footer per fold made the walk O(total files) instead of O(new
+    files)); entries whose file disappeared (swap-written stages) drop.
+    """
+    import pyarrow.parquet as pq
 
     path = _stage_path(planet_dir, name)
     lpath = os.path.join(path, "_lineage.json")
@@ -94,7 +99,21 @@ def _refresh_lineage(planet_dir: str, name: str, gen: int) -> None:
     if os.path.exists(lpath):
         with open(lpath) as f:
             lin = json.load(f)
-    counts = _parquet_file_counts(path)
+    prev = lin.get("partitions") or {}
+    counts: dict[str, int] = {}
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            rel = os.path.relpath(fp, path)
+            if rel in prev:
+                counts[rel] = prev[rel]
+                continue
+            try:
+                counts[rel] = pq.ParquetFile(fp).metadata.num_rows
+            except Exception:
+                pass
     lin.update(
         {
             "row_count": int(sum(counts.values())),
@@ -151,6 +170,123 @@ def merge_leaf_levels(
     )
 
 
+def _tree_delta_splice(
+    spark: SparkSession,
+    old_tree: DataFrame,
+    delta_leaf_rows: list,
+    leaf_zoom: int,
+) -> DataFrame:
+    """Associative DELTA update of the tile tree for an append-only page
+    delta: counts sum, child masks OR, h extents widen, and each
+    interior tile's leaf_count grows by the number of brand-new leaves
+    beneath it. Exactly equal to rebuilding the rollup from the merged
+    leaf set (all updates are integer sums / min / max / bit_or —
+    order-independent), but the work is O(delta ladder) + two scans of
+    the old tree instead of a leaf-set shuffle + a 7-level explode
+    aggregate over EVERY leaf per fold.
+
+    ``delta_leaf_rows`` are pre-collected ``build_leaves`` rows (micro-
+    batch sized; the caller enforces the collect cap and falls back to
+    the full rebuild above it — the same rows also derive the dirty
+    set, so the fold pays ONE leaf collect total).
+    """
+    rows = delta_leaf_rows
+    zooms = list(range(leaf_zoom, -1, -2))
+    dkeys = [
+        (z, int(r.leaf_h) >> (2 * (leaf_zoom - z))) for z in zooms for r in rows
+    ]
+    dkeys_df = spark.createDataFrame(
+        sorted(set(dkeys)), "zoom int, tile_h long"
+    )
+    exist = {
+        (r.zoom, r.tile_h)
+        for r in old_tree.join(
+            F.broadcast(dkeys_df), ["zoom", "tile_h"], "left_semi"
+        )
+        .select("zoom", "tile_h")
+        .collect()
+    }
+    # driver-side ladder aggregation of the delta leaves
+    acc: dict[tuple[int, int], list] = {}  # key -> [mask, n, leaf_inc, hmin, hmax]
+    for r in rows:
+        lh, n, hmin, hmax = int(r.leaf_h), int(r.n_count), int(r.h_min), int(r.h_max)
+        is_new = (leaf_zoom, lh) not in exist
+        for z in zooms:
+            key = (z, lh >> (2 * (leaf_zoom - z)))
+            a = acc.get(key)
+            if a is None:
+                a = acc[key] = [0, 0, 0, hmin, hmax]
+            if z == leaf_zoom:
+                a[2] = 1 if is_new else 0
+            else:
+                a[0] |= 1 << ((lh >> (2 * (leaf_zoom - z - 2))) & 15)
+                a[2] += 1 if is_new else 0
+            a[1] += n
+            a[3] = min(a[3], hmin)
+            a[4] = max(a[4], hmax)
+    count_cols = [
+        c
+        for c in old_tree.columns
+        if c.endswith("_count") and c != "leaf_count"
+    ]
+    merge_rows = [
+        (z, th, a[0], a[1], a[2], a[3], a[4])
+        for (z, th), a in acc.items()
+        if (z, th) in exist
+    ]
+    new_rows = [
+        (z, th, a[0], a[1], a[2] if z < leaf_zoom else 1, a[3], a[4])
+        for (z, th), a in acc.items()
+        if (z, th) not in exist
+    ]
+    dschema = (
+        "zoom int, tile_h long, d_mask int, d_n long, d_leaf long, "
+        "d_hmin long, d_hmax long"
+    )
+    merged = old_tree.join(
+        F.broadcast(spark.createDataFrame(merge_rows, dschema)),
+        ["zoom", "tile_h"],
+        "left",
+    ).select(
+        "zoom",
+        "tile_h",
+        F.col("child_mask")
+        .bitwiseOR(F.coalesce(F.col("d_mask"), F.lit(0)))
+        .cast("int")
+        .alias("child_mask"),
+        *[
+            (
+                F.col(c) + F.coalesce(F.col("d_n"), F.lit(0))
+                if c == "n_count"
+                else F.col(c)
+            ).alias(c)
+            for c in count_cols
+        ],
+        (F.col("leaf_count") + F.coalesce(F.col("d_leaf"), F.lit(0))).alias(
+            "leaf_count"
+        ),
+        F.least(
+            F.col("h_min"), F.coalesce(F.col("d_hmin"), F.col("h_min"))
+        ).alias("h_min"),
+        F.greatest(
+            F.col("h_max"), F.coalesce(F.col("d_hmax"), F.col("h_max"))
+        ).alias("h_max"),
+    )
+    fresh = spark.createDataFrame(new_rows, dschema).select(
+        "zoom",
+        "tile_h",
+        F.col("d_mask").cast("int").alias("child_mask"),
+        *[
+            (F.col("d_n") if c == "n_count" else F.lit(0).cast("long")).alias(c)
+            for c in count_cols
+        ],
+        F.col("d_leaf").alias("leaf_count"),
+        F.col("d_hmin").alias("h_min"),
+        F.col("d_hmax").alias("h_max"),
+    )
+    return merged.unionByName(fresh).select(*old_tree.columns)
+
+
 def _merge_intervals(hs: list[int], max_intervals: int) -> list[tuple[int, int]]:
     """Cover a sorted unique int list with <= max_intervals closed
     intervals, splitting at the LARGEST gaps (the optimal cover of
@@ -178,6 +314,8 @@ def _dirty_content(
     dirty: DataFrame,
     max_intervals: int = 32,
     collect_cap: int = 200_000,
+    n_dirty: int | None = None,
+    dirty_keys: list | None = None,
 ) -> DataFrame:
     """Content rows restricted to the dirty (zoom, tile_h) set, with a
     row-group-skipping coarse predicate in front of the exact broadcast
@@ -192,23 +330,44 @@ def _dirty_content(
     ~the full range (the semi-join stays exact either way), and a dirty
     set above ``collect_cap`` keys skips the driver-side interval pass
     and keeps the one-range form."""
-    stats = dirty.groupBy("zoom").agg(
-        F.min("tile_h").alias("lo"),
-        F.max("tile_h").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()
-    total = sum(r.n for r in stats)
-    intervals: dict[int, list[tuple[int, int]]] = {
-        r.zoom: [(r.lo, r.hi)] for r in stats
-    }
-    if 0 < total <= collect_cap:
+    if dirty_keys is not None:
+        # caller already holds the key set (micro-batch folds derive it
+        # driver-side) — no collect job at all
         by_zoom: dict[int, list[int]] = {}
-        for r in dirty.select("zoom", "tile_h").collect():
-            by_zoom.setdefault(r.zoom, []).append(r.tile_h)
-        intervals = {
+        for z, th in dirty_keys:
+            by_zoom.setdefault(z, []).append(th)
+        intervals: dict[int, list[tuple[int, int]]] = {
             z: _merge_intervals(sorted(set(hs)), max_intervals)
             for z, hs in by_zoom.items()
         }
+    elif n_dirty is not None and n_dirty > collect_cap:
+        # above the driver-pass cap: keep the one-range-per-zoom form
+        # without collecting the key set (same degradation as before)
+        stats = dirty.groupBy("zoom").agg(
+            F.min("tile_h").alias("lo"), F.max("tile_h").alias("hi")
+        ).collect()
+        intervals = {r.zoom: [(r.lo, r.hi)] for r in stats}
+    else:
+        # ONE collect job feeds both the per-zoom stats and the interval
+        # cover (the stats pass was a second job over the same tiny set)
+        by_zoom: dict[int, list[int]] = {}
+        rows = dirty.select("zoom", "tile_h").collect()
+        if n_dirty is None and len(rows) > collect_cap:
+            intervals = {}
+            for r in rows:
+                lo_hi = intervals.get(r.zoom)
+                if lo_hi is None:
+                    intervals[r.zoom] = [(r.tile_h, r.tile_h)]
+                else:
+                    lo, hi = lo_hi[0]
+                    intervals[r.zoom] = [(min(lo, r.tile_h), max(hi, r.tile_h))]
+        else:
+            for r in rows:
+                by_zoom.setdefault(r.zoom, []).append(r.tile_h)
+            intervals = {
+                z: _merge_intervals(sorted(set(hs)), max_intervals)
+                for z, hs in by_zoom.items()
+            }
     content = spark.read.parquet(content_path)
     coarse = None
     for z, ivs in intervals.items():
@@ -230,26 +389,54 @@ def _recompose_dirty_tiles(
     config: BuildConfig,
     compiled,
     gen: int,
-    mark=lambda name: None,
+    steps: dict | None = None,
+    n_dirty: int | None = None,
+    dirty_keys: list | None = None,
 ) -> None:
-    """Re-cluster the dirty keys' (old + delta) content through the same
-    write_content layout the full build uses, run the normal phase-1/
-    phase-2 compose (mixed planets re-merge the dirty slice of the
-    unchanged content_mp stage as geometry chunks), write the result as
+    """Re-cluster the dirty keys' (old + delta) content in memory (hash
+    partition + sort — the compose contract, without the parquet round
+    trip the tmp-dir layout paid), run the normal phase-1/phase-2
+    compose (mixed planets re-merge the dirty slice of the unchanged
+    content_mp stage as geometry chunks), write the result as
     generation ``gen``, and splice the manifest/metrics for exactly the
-    keys passed."""
+    keys passed. The gen write and the manifest/metrics splice are
+    independent consumers of the materialized dirty cache and run as
+    concurrent jobs. Per-step walls land in ``steps`` (overlapping)."""
+    if steps is None:
+        steps = {}
     mixed = os.path.isdir(_stage_path(planet_dir, "content_mp"))
     content_path = _stage_path(planet_dir, "content")
     delta_dir = os.path.join(planet_dir, "tiles_delta")
-    dirty_all = _dirty_content(spark, content_path, dirty)
-    tmp_cluster = os.path.join(planet_dir, f"_compact_content_gen{gen}")
-    write_content(dirty_all, tmp_cluster)
-    mark("dirty_cluster")
+    dirty_all = _dirty_content(
+        spark, content_path, dirty, n_dirty=n_dirty, dirty_keys=dirty_keys
+    )
+    # Cluster the dirty slice IN MEMORY instead of round-tripping it
+    # through a parquet tmp dir: hash-partition by (zoom, tile_h) +
+    # sort-within gives compose_points_presorted exactly the contract it
+    # needs (a tile's rows in ONE partition, contiguous), without the
+    # range-boundary sampling pass, the parquet write, or the read-back.
+    # The count materializes the cache ONCE so the two concurrent
+    # consumers below (gen write, manifest splice) both read it instead
+    # of racing to recompute the scan+shuffle.
+    t_step = time.time()
+    dirty_sorted = (
+        dirty_all.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            "zoom",
+            "tile_h",
+        )
+        .sortWithinPartitions("zoom", "tile_h")
+        .persist()
+    )
+    dirty_sorted.count()
+    steps["dirty_cluster"] = round(time.time() - t_step, 3)
     mp_dirty = None
     try:
-        rf = _points_rf(spark, spark.read.parquet(tmp_cluster), compiled, config)
+        rf = _points_rf(spark, dirty_sorted, compiled, config)
         if not mixed:
-            recomposed = compose_points_presorted(rf, _layer_order(config))
+            recomposed = compose_points_presorted(
+                rf, _layer_order(config), file_marker=False
+            )
         else:
             # same merge shape as build_planet's mixed compose, restricted
             # to the dirty keys: the mp tile subset demotes from finals to
@@ -275,44 +462,72 @@ def _recompose_dirty_tiles(
                     ),
                     exclude_keys=keys,
                     extra_chunks=gchunks,
+                    file_marker=False,
                 )
             else:
                 recomposed = merge_chunks(
-                    points_chunks(rf).unionByName(gchunks), _layer_order(config)
+                    points_chunks(rf, file_marker=False).unionByName(gchunks),
+                    _layer_order(config),
                 )
-        (
-            recomposed.write.mode("overwrite")
-            .partitionBy("zoom")
-            .parquet(os.path.join(delta_dir, f"gen={gen}"))
-        )
-        mark("recompose")
-
-        # manifest splice + zoom metrics recompute (both tile-bounded)
-        man_path = _stage_path(planet_dir, "tile_manifest")
-        old_man = spark.read.parquet(man_path)
-        man_input = spark.read.parquet(tmp_cluster).select(
-            "zoom", "tile_h", "feature_id"
-        )
-        if mp_dirty is not None:
-            man_input = man_input.unionByName(
-                mp_dirty.select("zoom", "tile_h", "feature_id")
+        def _gen_write() -> None:
+            (
+                recomposed.write.mode("overwrite")
+                .partitionBy("zoom")
+                .parquet(os.path.join(delta_dir, f"gen={gen}"))
             )
-        new_counts = tile_manifest(man_input)
-        spliced = old_man.join(
-            F.broadcast(dirty), ["zoom", "tile_h"], "left_anti"
-        ).unionByName(new_counts)
-        _swap_write(spliced, man_path)
-        _refresh_lineage(planet_dir, "tile_manifest", gen)
-        metrics_path = _stage_path(planet_dir, "zoom_metrics")
-        _swap_write(
-            zoom_metrics_from_manifest(spark.read.parquet(man_path)), metrics_path
-        )
-        _refresh_lineage(planet_dir, "zoom_metrics", gen)
-        mark("manifest_metrics")
+
+        # manifest splice + zoom metrics recompute (both tile-bounded).
+        # The spliced manifest is persisted so the metrics rollup reads
+        # the cache instead of re-scanning the just-written parquet.
+        def _manifest_metrics() -> None:
+            man_path = _stage_path(planet_dir, "tile_manifest")
+            old_man = spark.read.parquet(man_path)
+            man_input = dirty_sorted.select("zoom", "tile_h", "feature_id")
+            if mp_dirty is not None:
+                man_input = man_input.unionByName(
+                    mp_dirty.select("zoom", "tile_h", "feature_id")
+                )
+            new_counts = tile_manifest(man_input)
+            spliced = (
+                old_man.join(
+                    F.broadcast(dirty), ["zoom", "tile_h"], "left_anti"
+                )
+                .unionByName(new_counts)
+                .persist()
+            )
+            # per-zoom rollup is ~a dozen rows: collect it off the cached
+            # splice BEFORE the swap (so no plan ever re-reads the
+            # replaced path), then write it back as a literal frame — one
+            # manifest scan serves both tables instead of write +
+            # re-read + re-agg
+            metrics = zoom_metrics_from_manifest(spliced)
+            metrics_rows = metrics.collect()
+            _swap_write(spliced, man_path)
+            _refresh_lineage(planet_dir, "tile_manifest", gen)
+            metrics_path = _stage_path(planet_dir, "zoom_metrics")
+            _swap_write(
+                spark.createDataFrame(metrics_rows, metrics.schema),
+                metrics_path,
+            )
+            spliced.unpersist()
+            _refresh_lineage(planet_dir, "zoom_metrics", gen)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _timed(name: str, fn) -> None:
+            t = time.time()
+            fn()
+            steps[name] = round(time.time() - t, 3)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_gen = pool.submit(_timed, "recompose", _gen_write)
+            f_man = pool.submit(_timed, "manifest_metrics", _manifest_metrics)
+            f_gen.result()
+            f_man.result()
     finally:
         if mp_dirty is not None:
             mp_dirty.unpersist()
-        shutil.rmtree(tmp_cluster, ignore_errors=True)
+        dirty_sorted.unpersist()
 
 
 def compact_planet(
@@ -380,83 +595,174 @@ def compact_planet(
         num_partitions=config.sort_partitions,
     ).persist()
     n_delta = delta_points.count()
+    # micro-batch deltas (the overwhelmingly common fold): ONE collect of
+    # the delta leaf aggregate feeds the dirty set (derived in Python —
+    # the exact distinct-ancestor-ladder set dirty_tiles_for_points
+    # computes, minus its two shuffle jobs) AND the tree delta splice.
+    leaf_rows = (
+        build_leaves(delta_points, config.leaf_zoom)
+        .select("leaf_h", "n_count", "h_min", "h_max")
+        .collect()
+        if n_delta <= 200_000
+        else None
+    )
     _mark("delta_points")
 
-    # 2. invalidation set: tile-bounded, reused as broadcast both sides
-    dirty = dirty_tiles_for_points(delta_points, config.leaf_zoom).persist()
-    n_dirty = dirty.count()
-    _mark("dirty_set")
+    # Steps 2-7 below are a dependency DAG, not a chain: the tree
+    # splice, the content append, and the points append each depend only
+    # on delta_points, while the recompose chain needs the dirty set AND
+    # the appended content. Running the independent branches as
+    # concurrent driver-thread jobs (guide-standard back-fill: a fold is
+    # fixed-cost dominated, so the tail of one tiny job schedules the
+    # next instead of idling the executor) cuts the per-fold wall by the
+    # sum of the overlapped steps. Step walls are recorded per step
+    # (concurrent steps overlap, so they no longer sum to the fold wall).
+    from concurrent.futures import ThreadPoolExecutor
 
-    # 2b. low-zoom deferral: a zoom-z tile count shrinks 16x per even
-    #     level, so low-zoom tiles are FEW but are dirtied by ~every
-    #     delta batch and hold a planet-proportional share of content
-    #     (every z-visible feature renders into one of a handful of
-    #     tiles). Recomposing them per micro-batch re-does that work
-    #     every time; deferring them amortizes it across K batches and
-    #     makes the per-batch cost delta-bounded. Deferred keys
-    #     accumulate under _deferred_dirty and fold on flush_deferred /
-    #     materialize_tiles; until then read_tiles serves the previous
-    #     (stale) low-zoom overview tiles — the standard tile-server
-    #     tradeoff.
-    deferred_n = 0
-    dirty_now = dirty
-    if defer_zoom_below is not None:
-        dirty_now = dirty.where(F.col("zoom") >= defer_zoom_below).persist()
-        ddir = os.path.join(planet_dir, "_deferred_dirty")
-        (
-            dirty.where(F.col("zoom") < defer_zoom_below)
-            .withColumn("gen", F.lit(gen))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(ddir)
-        )
-        deferred_n = n_dirty - dirty_now.count()
-        _mark("defer_split")
+    def _timed(name: str, fn) -> None:
+        t = time.time()
+        fn()
+        steps[name] = round(time.time() - t, 3)
 
-    # 3. tree: merge leaf level associatively, rebuild interior rollup
-    #    from the merged (tile-bounded) leaf set
-    tree_path = _stage_path(planet_dir, "tile_tree")
-    old_tree = spark.read.parquet(tree_path)
-    merged_leaves = merge_leaf_levels(
-        old_tree.where(F.col("zoom") == config.leaf_zoom),
-        build_leaves(delta_points, config.leaf_zoom),
-    )
-    _swap_write(build_tile_tree(merged_leaves, config.leaf_zoom), tree_path)
-    _refresh_lineage(planet_dir, "tile_tree", gen)
-    _mark("tree_merge")
+    # 3. tree: delta-splice the rollup (counts sum, masks OR, extents
+    #    widen — exact) so per-fold tree work is O(delta ladder), not a
+    #    leaf-set shuffle + explode rollup over every leaf. Deltas past
+    #    the driver cap fall back to the associative leaf merge + full
+    #    interior rebuild (identical result, test-pinned equivalence).
+    def _tree_task() -> None:
+        tree_path = _stage_path(planet_dir, "tile_tree")
+        old_tree = spark.read.parquet(tree_path)
+        if leaf_rows is not None:
+            new_tree = _tree_delta_splice(
+                spark, old_tree, leaf_rows, config.leaf_zoom
+            )
+        else:
+            new_tree = build_tile_tree(
+                merge_leaf_levels(
+                    old_tree.where(F.col("zoom") == config.leaf_zoom),
+                    build_leaves(delta_points, config.leaf_zoom),
+                ),
+                config.leaf_zoom,
+            )
+        _swap_write(new_tree, tree_path)
+        _refresh_lineage(planet_dir, "tile_tree", gen)
 
     # 4. content: append the delta's rule-pyramid rows (purely
     #    per-feature -> append-composable)
     from ..functions.geo import grid_x, grid_y
 
-    content_path = _stage_path(planet_dir, "content")
-    delta_content = render_content(
-        delta_points.withColumn("gx", grid_x(F.col("lon_dm7"))).withColumn(
-            "gy", grid_y(F.col("lat_dm7"))
-        ),
-        config.manifest,
-        compiled,
-        carry_cols=["tags", "gx", "gy"],
-    )
-    delta_content.write.mode("append").partitionBy("zoom").parquet(content_path)
-    _refresh_lineage(planet_dir, "content", gen)
-    _mark("content_append")
+    def _content_task() -> None:
+        content_path = _stage_path(planet_dir, "content")
+        delta_content = render_content(
+            delta_points.withColumn("gx", grid_x(F.col("lon_dm7"))).withColumn(
+                "gy", grid_y(F.col("lat_dm7"))
+            ),
+            config.manifest,
+            compiled,
+            carry_cols=["tags", "gx", "gy"],
+        )
+        delta_content.write.mode("append").partitionBy("zoom").parquet(
+            content_path
+        )
+        _refresh_lineage(planet_dir, "content", gen)
 
-    # 5+6. recompose the (non-deferred) dirty tiles and splice metadata
-    _recompose_dirty_tiles(
-        spark, planet_dir, dirty_now, config, compiled, gen, mark=_mark
-    )
+    # 7. points append: nothing in the fold re-reads the points stage
+    def _points_task() -> None:
+        delta_points.write.mode("append").parquet(
+            _stage_path(planet_dir, "points_sorted")
+        )
+        _refresh_lineage(planet_dir, "points_sorted", gen)
 
-    # 7. append delta points last (nothing below re-reads points)
-    delta_points.write.mode("append").parquet(
-        _stage_path(planet_dir, "points_sorted")
-    )
-    _refresh_lineage(planet_dir, "points_sorted", gen)
-    _mark("points_append")
+    deferred_n = 0
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_tree = pool.submit(_timed, "tree_merge", _tree_task)
+        f_content = pool.submit(_timed, "content_append", _content_task)
+        f_points = pool.submit(_timed, "points_append", _points_task)
+
+        # 2. invalidation set: tile-bounded, reused as broadcast both
+        #    sides. Micro-batch deltas derive it in Python off the one
+        #    leaf collect (a local relation broadcasts the same as a
+        #    computed frame); over-cap deltas keep the Spark derivation.
+        t_step = time.time()
+        defer_z = -1 if defer_zoom_below is None else int(defer_zoom_below)
+        dirty_cached = None
+        if leaf_rows is not None:
+            lz = config.leaf_zoom
+            dirty_keys = sorted(
+                {
+                    (z, int(r.leaf_h) >> (2 * (lz - z)))
+                    for z in range(lz, -1, -2)
+                    for r in leaf_rows
+                }
+            )
+            n_dirty = len(dirty_keys)
+            dirty = spark.createDataFrame(dirty_keys, "zoom int, tile_h long")
+        else:
+            dirty_cached = dirty_tiles_for_points(
+                delta_points, config.leaf_zoom
+            ).persist()
+            dirty = dirty_cached
+            n_dirty = int(dirty.count())
+        steps["dirty_set"] = round(time.time() - t_step, 3)
+
+        # 2b. low-zoom deferral: a zoom-z tile count shrinks 16x per even
+        #     level, so low-zoom tiles are FEW but are dirtied by ~every
+        #     delta batch and hold a planet-proportional share of content
+        #     (every z-visible feature renders into one of a handful of
+        #     tiles). Recomposing them per micro-batch re-does that work
+        #     every time; deferring them amortizes it across K batches
+        #     and makes the per-batch cost delta-bounded. Deferred keys
+        #     accumulate under _deferred_dirty and fold on
+        #     flush_deferred / materialize_tiles; until then read_tiles
+        #     serves the previous (stale) low-zoom overview tiles — the
+        #     standard tile-server tradeoff.
+        dirty_now = dirty
+        dirty_now_keys = dirty_keys if leaf_rows is not None else None
+        if defer_zoom_below is not None:
+            ddir = os.path.join(planet_dir, "_deferred_dirty")
+            if leaf_rows is not None:
+                deferred_keys = [k for k in dirty_keys if k[0] < defer_z]
+                deferred_n = len(deferred_keys)
+                dirty_now_keys = [k for k in dirty_keys if k[0] >= defer_z]
+                dirty_now = spark.createDataFrame(
+                    dirty_now_keys, "zoom int, tile_h long"
+                )
+                to_park = spark.createDataFrame(
+                    deferred_keys, "zoom int, tile_h long"
+                )
+            else:
+                deferred_n = int(
+                    dirty.where(F.col("zoom") < defer_zoom_below).count()
+                )
+                dirty_now = dirty.where(F.col("zoom") >= defer_zoom_below)
+                to_park = dirty.where(F.col("zoom") < defer_zoom_below)
+            # the parked write blocks nothing downstream — overlap it
+            f_park = pool.submit(
+                _timed,
+                "defer_split",
+                lambda: (
+                    to_park.withColumn("gen", F.lit(gen))
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(ddir)
+                ),
+            )
+
+        # 5+6. recompose the (non-deferred) dirty tiles and splice
+        #      metadata — needs the content append committed first (the
+        #      dirty slice must include the delta's own content rows)
+        f_content.result()
+        _recompose_dirty_tiles(
+            spark, planet_dir, dirty_now, config, compiled, gen, steps=steps,
+            n_dirty=n_dirty - deferred_n, dirty_keys=dirty_now_keys,
+        )
+        f_tree.result()
+        f_points.result()
+        if defer_zoom_below is not None:
+            f_park.result()
     delta_points.unpersist()
-    if dirty_now is not dirty:
-        dirty_now.unpersist()
-    dirty.unpersist()
+    if dirty_cached is not None:
+        dirty_cached.unpersist()
 
     summary = {
         "gen": gen,
@@ -552,7 +858,9 @@ def flush_deferred(
     gen = (max(gens) + 1) if gens else 1
     compiled = compile_rules(config.manifest)
     t0 = time.time()
-    _recompose_dirty_tiles(spark, planet_dir, pending, config, compiled, gen)
+    _recompose_dirty_tiles(
+        spark, planet_dir, pending, config, compiled, gen, n_dirty=n
+    )
     pending.unpersist()
     shutil.rmtree(ddir)
     log_path = os.path.join(planet_dir, "_compaction.json")
