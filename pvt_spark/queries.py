@@ -3091,6 +3091,16 @@ def q56_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("id"),
     )
     root = tempfile.mkdtemp(prefix="pvt_q56_")
+    # State-store partitions are a per-batch FIXED cost (one state task
+    # + checkpoint delta file per partition per micro-batch); this query
+    # owns a fresh checkpoint, so pin them to the key-count scale of the
+    # fixture (~1k user keys) instead of the session-wide default sized
+    # for corpus shuffles. Identical results — partitioning never
+    # changes the as-of semantics — and the same 16-partition choice the
+    # rate-controlled streaming bench documents (128 measured 6x slower
+    # on identical input).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
         tagged.write.mode("overwrite").parquet(src)
@@ -3135,6 +3145,7 @@ def q56_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # survive the tmpdir cleanup below
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -83,23 +83,28 @@ def asof_join_stream(
     """
     tol = None if tolerance_us is None else int(tolerance_us)
 
-    def _emit(key, state: GroupState, new_l, new_r):
-        st = list(state.get) if state.exists else [[], [], [], []]
-        l_ts = list(st[0]) + [t for t, _ in new_l]
-        l_id = list(st[1]) + [i for _, i in new_l]
-        r_ts = list(st[2]) + [t for t, _ in new_r]
-        r_tie = list(st[3]) + [i for _, i in new_r]
+    _empty = np.empty(0, np.int64)
+
+    def _emit(key, state: GroupState, nl_ts, nl_id, nr_ts, nr_tie):
+        # array-native per-group path: the per-batch cost of this
+        # operator is ~(groups x Python glue), so the glue builds no
+        # intermediate row tuples — state lists concatenate straight
+        # into int64 arrays
+        if state.exists:
+            st = state.get
+            l_ts = np.concatenate([np.asarray(st[0], np.int64), nl_ts])
+            l_id = np.concatenate([np.asarray(st[1], np.int64), nl_id])
+            r_ts = np.concatenate([np.asarray(st[2], np.int64), nr_ts])
+            r_tie = np.concatenate([np.asarray(st[3], np.int64), nr_tie])
+        else:
+            l_ts, l_id, r_ts, r_tie = nl_ts, nl_id, nr_ts, nr_tie
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1000
         # rights sorted by (ts, tie): the match scan and the floor pick
         # both want that order
-        r_ts = np.array(r_ts, np.int64)
-        r_tie = np.array(r_tie, np.int64)
         order = np.lexsort((r_tie, r_ts))  # (ts, tie) ascending: match scan + floor
         r_ts = r_ts[order]
         r_tie = r_tie[order]
-        l_ts = np.array(l_ts, np.int64)
-        l_id = np.array(l_id, np.int64)
         # final lefts: no future right can have ts <= lt once wm passed lt
         fin = l_ts < wm_us
         keep_l_ts = l_ts[~fin].tolist()
@@ -121,18 +126,17 @@ def asof_join_stream(
             else:
                 ok = np.zeros(len(flt), bool)
                 m_ts = m_tie = np.zeros(len(flt), np.int64)
+            miss = ~np.asarray(ok, bool)
             out = pd.DataFrame(
                 {
                     "key": [key[0]] * len(flt),
                     "left_id": l_id[fin],
                     "left_us": flt,
-                    "matched_tie": pd.array(
-                        [int(t) if o else None for t, o in zip(m_tie, ok)],
-                        dtype="Int64",
+                    "matched_tie": pd.arrays.IntegerArray(
+                        np.asarray(m_tie, np.int64), mask=miss.copy()
                     ),
-                    "matched_us": pd.array(
-                        [int(t) if o else None for t, o in zip(m_ts, ok)],
-                        dtype="Int64",
+                    "matched_us": pd.arrays.IntegerArray(
+                        np.asarray(m_ts, np.int64), mask=miss.copy()
                     ),
                 }
             )
@@ -168,20 +172,21 @@ def asof_join_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            yield from _emit(key, state, [], [])
+            yield from _emit(key, state, _empty, _empty, _empty, _empty)
             return
-        rows = pd.concat(list(pdfs))
+        batches = list(pdfs)
+        rows = batches[0] if len(batches) == 1 else pd.concat(batches)
         if rows[["tag", "ts", "id"]].isnull().any().any():
             raise ValueError(
                 "asof_join_stream: tag/ts/id must be non-null "
                 "(contract: tag in {0, 1}, id is the row/tie id)"
             )
         us = rows["ts"].astype("int64").floordiv(1000).to_numpy()
-        tags = rows["tag"].to_numpy()
-        ids = rows["id"].to_numpy()
-        new_l = [(int(t), int(i)) for t, g, i in zip(us, tags, ids) if g == 1]
-        new_r = [(int(t), int(i)) for t, g, i in zip(us, tags, ids) if g == 0]
-        yield from _emit(key, state, new_l, new_r)
+        left = rows["tag"].to_numpy().astype(np.int64) == 1
+        ids = rows["id"].to_numpy().astype(np.int64)
+        yield from _emit(
+            key, state, us[left], ids[left], us[~left], ids[~left]
+        )
 
     # event micros inside the pandas UDF come from session-timezone-naive
     # timestamps, while getCurrentWatermarkMs() is true UTC epoch — the

@@ -91,13 +91,13 @@ def sessionize_stream(
         def out(rows):
             return pd.DataFrame(
                 {
-                    "key": [key[0] for _ in rows],
-                    "session_start": [
-                        pd.to_datetime(s, unit="us") for s, _, _ in rows
-                    ],
-                    "session_end": [
-                        pd.to_datetime(e, unit="us") for _, e, _ in rows
-                    ],
+                    "key": [key[0]] * len(rows),
+                    "session_start": pd.to_datetime(
+                        [s for s, _, _ in rows], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [e for _, e, _ in rows], unit="us"
+                    ),
                     "n_events": [n for _, _, n in rows],
                 }
             )
@@ -140,23 +140,35 @@ def sessionize_stream(
                 yield out(done)
             return
 
-        us = (
-            pd.concat([p["ts"] for p in pdfs])
-            .sort_values()
-            .astype("int64")
-            .floordiv(1000)
-            .to_numpy()
+        import numpy as np
+
+        batches = list(pdfs)
+        ts = (
+            batches[0]["ts"]
+            if len(batches) == 1
+            else pd.concat([p["ts"] for p in batches])
         )
+        us = np.sort(ts.astype("int64").to_numpy() // 1000)
         if state.exists:
             starts, ends, ns = state.get
             ivals = [[int(s), int(e), int(n)] for s, e, n in zip(starts, ends, ns)]
         else:
             ivals = []
-        # interval-merge: buffered sessions and new single-event
-        # intervals, sorted by start; gap-adjacent intervals coalesce
-        # (this is exactly event-level gap sessionization because every
-        # buffered interval already has all internal gaps <= gap)
-        ivals += [[int(t), int(t), 1] for t in us]
+        # interval-merge: buffered sessions and the batch's own events
+        # pre-coalesced into maximal gap-runs (numpy boundary split —
+        # identical to feeding single-event intervals one by one, since
+        # the merge below is a gap-union with counts summed), sorted by
+        # start; gap-adjacent intervals coalesce (this is exactly
+        # event-level gap sessionization because every buffered interval
+        # already has all internal gaps <= gap)
+        if len(us):
+            brk = np.flatnonzero(np.diff(us) > gap_us)
+            a_idx = np.concatenate([[0], brk + 1])
+            b_idx = np.concatenate([brk, [len(us) - 1]])
+            ivals += [
+                [int(us[a]), int(us[b]), int(b - a + 1)]
+                for a, b in zip(a_idx, b_idx)
+            ]
         ivals.sort()
         merged = []
         for iv in ivals:
