@@ -67,51 +67,113 @@ def kmeans_fit(
     Cells that lose all members drop out (standard k-means behavior),
     so the result may have fewer rows.
     """
+    spark = vectors.sparkSession
     # init: distributed partial top-n (TakeOrderedAndProject), NOT a
-    # global-sort window — only the n winners ever leave their partitions
-    picked = (
+    # global-sort window — only the n winners ever leave their partitions.
+    # Collected immediately: the Lloyd loop only ever consumes centroids
+    # as a driver-side matrix (broadcast into the assignment), so the
+    # table lives as plain rows between rounds — no per-round
+    # localCheckpoint job, no window.
+    init_rows = (
         vectors.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(n_centroids)
+        .collect()
     )
-    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-    cents = picked.withColumn("_r", F.row_number().over(w)).select(
-        (F.col("_r") - 1).cast("long").alias("centroid_id"),
-        F.col(vec_col).alias("cv"),
-    )
+    cents_rows = [(int(i), list(r[1])) for i, r in enumerate(init_rows)]
+    if not cents_rows:
+        return spark.createDataFrame(
+            [], "centroid_id long, cv array<double>"
+        )
+    dim = len(cents_rows[0][1])
+    sc = spark.sparkContext
     for _ in range(iters):
         if method == "numpy":
-            assigned, bc = _assign_numpy(vectors, cents, vec_col)
-        else:
-            assigned, bc = ivf_assign(
-                vectors, cents, id_col=id_col, vec_col=vec_col, method=method
-            ), None
-        # update: element-wise mean per cell — (cell, dim) rows keep the
-        # shuffle narrow regardless of dimension
-        dims = assigned.select(
-            "centroid_id", F.posexplode(vec_col).alias("dim", "x")
-        )
-        cents = (
-            dims.groupBy("centroid_id", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
-                ).alias("cv")
+            # FUSED assign + partial update: one mapInPandas pass emits
+            # per-batch (cell, count, sum-vector) partials — k rows per
+            # Arrow batch — merged driver-side. One job per Lloyd round,
+            # no per-round assignment stage, and no 64-column aggregate
+            # whose generated code costs seconds to compile. Partial
+            # sums merge in batch order (deterministic for a fixed
+            # layout) — the same documented last-ulp contract as the
+            # shuffled avg it replaces.
+            cids = np.array([i for i, _ in cents_rows], dtype=np.int64)
+            cmat = np.array([cv for _, cv in cents_rows], dtype=np.float64)
+            bc = sc.broadcast((cids, cmat))
+
+            def partials(batches):
+                ids, cm = bc.value
+                norms = (cm * cm).sum(axis=1)
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    v = np.vstack(pdf[vec_col].to_numpy())
+                    d = (
+                        (v * v).sum(axis=1)[:, None]
+                        - 2.0 * (v @ cm.T)
+                        + norms[None, :]
+                    )
+                    a = np.argmin(d, axis=1)  # first min = lowest id
+                    sums = np.zeros((len(ids), v.shape[1]))
+                    np.add.at(sums, a, v)
+                    counts = np.bincount(a, minlength=len(ids))
+                    nz = np.flatnonzero(counts)
+                    yield pd.DataFrame(
+                        {
+                            "centroid_id": ids[nz],
+                            "n": counts[nz],
+                            "s": [sums[i] for i in nz],
+                        }
+                    )
+
+            rows = (
+                vectors.select(vec_col)
+                .mapInPandas(
+                    partials, "centroid_id long, n long, s array<double>"
+                )
+                .collect()
             )
-        )
-        # keep the centroid table materialized and small between rounds:
-        # it is broadcast into the next assignment. Once the new
-        # checkpoint is materialized this round's centroid broadcast is
-        # dead — release it explicitly so an N-round fit leaves no
-        # executor-side broadcast blocks behind (superseded checkpoint
-        # RDDs are dereferenced here and reclaimed by the
-        # ContextCleaner; same storage-hygiene contract as knn_per_tile)
-        cents = cents.localCheckpoint(eager=True)
-        if bc is not None:
             bc.unpersist()
-    return cents
+            acc: dict[int, tuple[int, np.ndarray]] = {}
+            for r in rows:
+                n0, s0 = acc.get(int(r.centroid_id), (0, None))
+                sv = np.asarray(r.s, dtype=np.float64)
+                acc[int(r.centroid_id)] = (
+                    n0 + int(r.n),
+                    sv if s0 is None else s0 + sv,
+                )
+            cents_rows = sorted(
+                (cid, (s / n).tolist()) for cid, (n, s) in acc.items()
+            )
+        else:
+            cents_df = spark.createDataFrame(
+                cents_rows, "centroid_id long, cv array<double>"
+            )
+            assigned = ivf_assign(
+                vectors, cents_df, id_col=id_col, vec_col=vec_col,
+                method=method,
+            )
+            # update: element-wise mean per cell — (cell, dim) rows keep
+            # the shuffle narrow regardless of dimension (the pinned
+            # pure-SQL lane)
+            dims = assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("dim", "x")
+            )
+            agg_rows = (
+                dims.groupBy("centroid_id", "dim")
+                .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in agg_rows:
+                by_cell.setdefault(int(r.centroid_id), {})[int(r.dim)] = r.m
+            cents_rows = sorted(
+                (cid, [ms[d] for d in sorted(ms)])
+                for cid, ms in by_cell.items()
+            )
+    return spark.createDataFrame(
+        cents_rows, "centroid_id long, cv array<double>"
+    )
 
 
 def ivf_assign(
@@ -320,8 +382,10 @@ def ivf_index_build(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
         )
     cents = kmeans_fit(fit_input, k, iters=iters, vec_col=vec_col)
+    # kmeans_fit returns a local relation — no lineage to truncate, so
+    # the persisted copy need not be read back
     cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
-    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    dim = len(cents.first()["cv"])
     assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
     if pq_m is not None:
         from .pq import pq_encode, pq_train, quantize_expr
@@ -345,7 +409,6 @@ def ivf_index_build(
         .partitionBy("centroid_id")
         .parquet(os.path.join(index_dir, "vectors"))
     )
-    dim = len(vectors.select(vec_col).first()[0])
     desc = {
         "n_vectors": n,
         "n_centroids": k,

@@ -121,21 +121,21 @@ def pq_train(
     planet scale, train on a sample (pass ``qvecs.sample(...)`` or a
     hash filter) and encode the full table once."""
     spark = qvecs.sparkSession
-    first = qvecs.select(vec_col).first()
-    if first is None:
-        raise ValueError("cannot train PQ on an empty table")
-    d = len(first[0])
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
     # deterministic init: ksub rows with smallest (md5(id), id) —
-    # distributed partial top-n, replicable anywhere (hex-string order)
+    # distributed partial top-n, replicable anywhere (hex-string order).
+    # The dimension comes from the first init row (no separate job).
     init_rows = (
         qvecs.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(ksub)
         .collect()
     )
+    if not init_rows:
+        raise ValueError("cannot train PQ on an empty table")
+    d = len(init_rows[0][1])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
     init = np.array([r[1] for r in init_rows], dtype=np.int64)  # (k0, d)
     k0 = len(init)
     cb = np.stack(
@@ -143,39 +143,60 @@ def pq_train(
     )  # (m, k0, dsub)
     codebook = PQCodebook(codes=cb)
 
+    sc = spark.sparkContext
     for _ in range(iters):
-        assign = _assign_codes_udf(spark, codebook)
-        coded = qvecs.select(
-            F.col(vec_col).alias("_v"), assign(F.col(vec_col)).alias("_c")
-        )
-        # (j, code, dim) integer sums: order-independent, tiny output
-        sums = (
-            coded.select(
-                F.posexplode("_c").alias("j", "code"),
-                F.col("_v").alias("_v"),
-            )
-            .select(
-                "j",
-                "code",
-                F.posexplode(
-                    F.expr(
-                        f"slice(_v, j * {dsub} + 1, {dsub})"
+        # FUSED assign + partial update: one mapInPandas pass emits
+        # per-batch (subspace, code, count, sum-vector) integer partials
+        # — at most m*ksub rows per Arrow batch — merged driver-side.
+        # int64 sums are EXACTLY order-independent, so the partitioning-
+        # invariance contract is preserved bit-for-bit while each Lloyd
+        # round costs ONE job with no explode, no shuffle, and no
+        # generated-aggregate compile.
+        bc = sc.broadcast(codebook.codes)
+
+        def partials(batches):
+            cb = bc.value  # (m, ksub, dsub) int64
+            m, ksub_, ds = cb.shape
+            cnorm = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.vstack(pdf[vec_col].to_numpy()).astype(np.int64)
+                js, codes, ns, svecs = [], [], [], []
+                for j in range(m):
+                    vj = v[:, j * ds : (j + 1) * ds]
+                    d = (
+                        (vj * vj).sum(axis=1)[:, None]
+                        - 2 * (vj @ cb[j].T)
+                        + cnorm[j][None, :]
                     )
-                ).alias("dim", "x"),
-            )
-            .groupBy("j", "code", "dim")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                    a = np.argmin(d, axis=1)  # first min = lowest code
+                    sums = np.zeros((ksub_, ds), dtype=np.int64)
+                    np.add.at(sums, a, vj)
+                    counts = np.bincount(a, minlength=ksub_)
+                    nz = np.flatnonzero(counts)
+                    js.extend([j] * len(nz))
+                    codes.extend(int(c) for c in nz)
+                    ns.extend(int(counts[c]) for c in nz)
+                    svecs.extend(sums[c] for c in nz)
+                yield pd.DataFrame(
+                    {"j": js, "code": codes, "n": ns, "s": svecs}
+                )
+
+        rows = (
+            qvecs.select(vec_col)
+            .mapInPandas(partials, "j int, code int, n long, s array<long>")
             .collect()
         )
+        bc.unpersist()
+        acc: dict[tuple[int, int], tuple[int, np.ndarray]] = {}
+        for r in rows:
+            key = (int(r.j), int(r.code))
+            n0, s0 = acc.get(key, (0, None))
+            sv = np.asarray(r.s, dtype=np.int64)
+            acc[key] = (n0 + int(r.n), sv if s0 is None else s0 + sv)
         new_cb = codebook.codes.copy()  # losers keep previous centroid
-        acc: dict[tuple[int, int], tuple[list, int]] = {}
-        for r in sums:
-            key = (r.j, r.code)
-            if key not in acc:
-                acc[key] = ([0] * dsub, 0)
-            acc[key][0][r.dim] = r.s
-            acc[key] = (acc[key][0], r.n)
-        for (j, code), (svec, n) in acc.items():
+        for (j, code), (n, svec) in acc.items():
             for t in range(dsub):
                 new_cb[j, code, t] = _trunc_div(int(svec[t]), int(n))
         codebook = PQCodebook(codes=new_cb)
