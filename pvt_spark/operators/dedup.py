@@ -137,24 +137,47 @@ def connected_components(
     a dict, receives {"supersteps": k[, "star_rounds": m]} for
     observability and tests.
     """
-    sym = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .persist()
-    )
+    # BOTH edge directions from ONE scan of ``pairs`` (an explode, not a
+    # self-union — the union evaluated the upstream candidate-pair plan
+    # twice inside the same job, which for the LSH pipeline means
+    # re-hashing the whole corpus)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").persist()
     # Superstep shuffle width follows the EDGE count, not the
-    # session-wide conf — 1 on an 11k-edge test, thousands at 10^12
-    # docs. (The count doubles as sym's materialization.)
-    n_parts = max(1, -(-sym.count() // 500_000))
+    # session-wide conf — thousands at 10^12 docs — floored at the
+    # scheduler's width so mid-size graphs use every core instead of
+    # parking 500k-row partitions on a handful of tasks. Tiny graphs
+    # (under ~16k edges per core) stay at 1 partition: task-launch
+    # overhead would dominate any parallelism win there. (Sizing uses
+    # the raw directed count — a <=2x overestimate of the deduped set,
+    # which only errs toward narrower partitions.)
+    n_edges = sym.count()  # the count doubles as sym's materialization
+    width = sym.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(1, -(-n_edges // 500_000))
+    if n_edges >= width * 16_384:
+        n_parts = max(n_parts, width)
     # Hash-partition the big side ONCE on the probe key and sort within
     # partitions: the checkpoint preserves partitioning AND ordering, so
     # every superstep's sort-merge join satisfies its distribution from
     # the stored blocks — the edge list never re-shuffles or re-sorts
     # inside the loop; only label-scale rows move per superstep.
+    # Dedup rides the SAME shuffle: rows sorted (a, b) within the hash
+    # partition make duplicate edges adjacent, so a lag filter replaces
+    # the separate ``distinct()`` exchange the old plan paid.
+    from pyspark.sql.window import Window as _W
+
     edges = (
         sym.repartition(n_parts, "a")
-        .sortWithinPartitions("a")
+        .sortWithinPartitions("a", "b")
+        .withColumn("_p", F.lag("b").over(_W.partitionBy("a").orderBy("b")))
+        .where(F.col("_p").isNull() | (F.col("_p") != F.col("b")))
+        .drop("_p")
         .localCheckpoint(eager=True)
     )
     sym.unpersist()

@@ -698,11 +698,16 @@ FROM documents ORDER BY doc_id
 
 
 def _shingles_expr_spark() -> str:
-    # word 3-gram shingles, distinct
+    # word 3-gram shingles, distinct. The word array binds ONCE under a
+    # single-element transform (the engine's standard evaluation
+    # barrier): the naive form re-ran split(text) for every word slot of
+    # every shingle position — O(len^2) per document. Identical output:
+    # concat_ws over slice == concat_ws over the element_at triple
+    # (split yields no NULLs).
     return (
-        "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)), "
-        "i -> concat_ws(' ', element_at(split(text,' '), i), "
-        "element_at(split(text,' '), i+1), element_at(split(text,' '), i+2))))"
+        "element_at(transform(array(split(text,' ')), w -> "
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)), "
+        "i -> concat_ws(' ', slice(w, i, 3))))), 1)"
     )
 
 
@@ -2184,14 +2189,19 @@ GROUP BY n_nationkey, n_name ORDER BY n_nationkey
 
 def _grams_expr_spark(n: int) -> str:
     """Word n-gram positions (NOT distinct — repetition counting needs
-    every occurrence) as a native SQL array expression over ``text``."""
-    parts = ", ".join(f"element_at(split(text,' '), i+{k})" for k in range(n))
-    # CASE guard: Spark's sequence(1, 0) DESCENDS to [1, 0] instead of
-    # being empty, so docs shorter than n words need an explicit branch
+    every occurrence) as a native SQL array expression over ``text``.
+
+    The word array binds once under a single-element transform; the
+    naive inline form re-ran split(text) for every word slot of every
+    gram position — O(len^2) per document (measured dominant in q42).
+    CASE guard: Spark's sequence(1, 0) DESCENDS to [1, 0] instead of
+    being empty, so docs shorter than n words need an explicit branch.
+    """
     return (
-        f"CASE WHEN size(split(text,' ')) >= {n} THEN "
-        f"transform(sequence(1, size(split(text,' ')) - {n - 1}), "
-        f"i -> concat_ws(' ', {parts})) ELSE array() END"
+        f"element_at(transform(array(split(text,' ')), w -> "
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n}))) ELSE array() END), 1)"
     )
 
 
