@@ -33,7 +33,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-_WORD_SPLIT = r"\s+"
+# The learn-side (JVM regex) splitter must agree with the encode-side
+# Python ``str.split()`` on EVERY input, or a document with exotic
+# whitespace tokenizes differently at learn vs encode time (ADVICE r5).
+# Java's \s is ASCII-only, and even (?U)\s misses U+001C-001F, so the
+# class below enumerates exactly the characters Python str.isspace()
+# accepts for str (tested: test_bpe.py::test_unicode_whitespace_parity).
+_WORD_SPLIT = (
+    "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]+"
+)
 
 
 def _merge_once(syms: tuple, a: str, b: str) -> tuple:

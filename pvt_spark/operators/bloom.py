@@ -8,10 +8,11 @@ table EVERY batch. A Bloom filter built ONCE over the resident keys
 steady-state per-batch cost into a map-side bitmap probe:
 
 - ``bloom_build``: one ``mapInPandas`` pass emits a partial bitmap per
-  partition (a few hundred KB each); the driver ORs them — the same
-  aggregate-compact-partials shape Spark's Scala
-  ``DataFrameStatFunctions.bloomFilter`` uses (treeAggregate of
-  BloomFilter bitmaps). No shuffle of the key rows at all.
+  partition; past 32 input partitions the partials merge EXECUTOR-SIDE
+  through a depth-2 tree (fan-in 32, then 1) so exactly one bitmap ever
+  reaches the driver — the treeAggregate shape Scala's
+  ``DataFrameStatFunctions.bloomFilter`` uses. No shuffle of the key
+  rows at all; only bitmap-sized partials move.
 - ``bloom_might_contain``: batch rows probe the broadcast bitmap in a
   vectorized pandas UDF — ZERO resident I/O.
 - ``bloom_new_rows``: the dedup split. ``exact=False`` (steady-state
@@ -30,6 +31,17 @@ the Python side never touches the key bytes, only two int64 columns.
 NULL keys follow SQL anti-join semantics: a NULL key never equals
 anything, so NULL-keyed batch rows are always NEW and NULL-keyed
 resident rows never poison the filter.
+
+Broadcast ceiling and sharding: a single bitmap must fit the driver +
+every executor once (practically a few GB; 10^9 keys at 1% fpp is
+~1.2 GB). Beyond that, build a hash-prefix FAMILY with this same API:
+shard s holds ``bloom_build(resident.where(pmod(xxhash64(key, 2), S)
+== s), ...)`` and batch rows probe the shard ``pmod(xxhash64(key, 2),
+S)`` selects. Seed 2 matters: the router must be independent of the
+probe hashes — routing by seed-0 bits correlates shard membership with
+probe positions and inflates fpp ~S-fold. Each shard build scans only
+its slice, each broadcast stays under the ceiling, and correctness is
+per-shard exactness (``test_bloom.py::test_sharded_family``).
 """
 
 from __future__ import annotations
@@ -109,7 +121,14 @@ def bloom_build(
         n_bits = int(-expected * math.log(fpp) / (math.log(2) ** 2))
     n_bits = max(64, (n_bits + 63) // 64 * 64)
     if n_hashes is None:
-        k = max(1, round(n_bits / max(1, expected or 1) * math.log(2)))
+        if expected:
+            k = max(1, round(n_bits / expected * math.log(2)))
+        else:
+            # explicit n_bits with unknown cardinality: a sane fixed
+            # probe count (the ~1% operating point) instead of deriving
+            # k from expected=1, which pinned it at the 16 cap and
+            # inflated fpp for every legal (n_bits-only) call
+            k = 7
         n_hashes = min(16, k)
     key_col = F.col(key) if isinstance(key, str) else key
     hashed = _with_hashes(
@@ -136,9 +155,34 @@ def bloom_build(
         if seen:
             yield pd.DataFrame({"bm": [bitmap.tobytes()]})
 
-    parts = hashed.mapInPandas(partial, "bm binary").collect()
+    def or_partials(batches):
+        acc = None
+        for pdf in batches:
+            for raw in pdf["bm"]:
+                arr = np.frombuffer(raw, dtype=np.uint64)
+                acc = arr.copy() if acc is None else (acc | arr)
+        if acc is not None:
+            yield pd.DataFrame({"bm": [acc.tobytes()]})
+
+    parts = hashed.mapInPandas(partial, "bm binary")
+    n_input_parts = hashed.rdd.getNumPartitions()
+    if n_input_parts > 32:
+        # EXECUTOR-SIDE tree merge (depth 2): wide inputs yield one
+        # full-size bitmap row per partition, and collecting thousands
+        # of them OR'd at the driver is an OOM at resident sets of
+        # 10^9+ keys (1-18 GB bitmaps). Fan the partials into <=32
+        # groups, OR within each, then OR the group results in one
+        # final task — the driver receives exactly ONE bitmap, same
+        # shape as Scala bloomFilter's treeAggregate.
+        parts = (
+            parts.repartition(32)
+            .mapInPandas(or_partials, "bm binary")
+            .repartition(1)
+            .mapInPandas(or_partials, "bm binary")
+        )
+    rows = parts.collect()
     bitmap = np.zeros(n_words, dtype=np.uint64)
-    for r in parts:
+    for r in rows:
         bitmap |= np.frombuffer(r.bm, dtype=np.uint64)
     return BloomFilter(bitmap=bitmap, n_bits=m, n_hashes=k)
 

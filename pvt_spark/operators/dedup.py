@@ -55,6 +55,7 @@ def _star_contract(edges: DataFrame, n_parts: int, max_rounds: int,
     """
     E = edges.localCheckpoint(eager=True)
     rounds = 0
+    converged = False
     for rounds in range(1, max_rounds + 1):
         # large-star: over the SYMMETRIC adjacency, every node u sends
         # its strictly-larger neighbors to m = min(N(u) + {u})
@@ -95,9 +96,20 @@ def _star_contract(edges: DataFrame, n_parts: int, max_rounds: int,
             .count()
         )
         if n_chained == 0 and n_multi == 0:
+            converged = True
             break
     if stats is not None:
         stats["star_rounds"] = rounds
+        stats["star_converged"] = converged
+    if not converged:
+        # ADVICE r5: never silently return labels from an unconverged
+        # edge set — members of one component could get different group
+        # ids with no signal. log2(n)^2 can exceed max_rounds at extreme
+        # n; the caller should raise max_iters rather than accept this.
+        raise RuntimeError(
+            f"_star_contract: star-forest test still failing after "
+            f"{max_rounds} rounds (raise max_iters)"
+        )
     roots = (
         E.select(F.col("b").alias("doc_id"))
         .distinct()

@@ -69,6 +69,16 @@ def _stage_path(planet_dir: str, name: str) -> str:
     return os.path.join(planet_dir, name)
 
 
+def _atomic_json_write(path: str, obj) -> None:
+    """Crash-safe json replace: a torn in-place truncate-and-write of
+    the exactly-once ledger would fail every subsequent read_log
+    (ADVICE r5). Write a sibling tmp then os.replace (atomic rename)."""
+    tmp = path + ".__tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def _swap_write(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     """Overwrite a stage dir that ``df`` may itself be reading from:
     materialize to a sibling tmp dir first, then swap. (On an object
@@ -780,8 +790,7 @@ def compact_planet(
         with open(log_path) as f:
             log = json.load(f)
     log.append(summary)
-    with open(log_path, "w") as f:
-        json.dump(log, f, indent=1, sort_keys=True)
+    _atomic_json_write(log_path, log)
     return summary
 
 
@@ -872,8 +881,7 @@ def flush_deferred(
         {"gen": gen, "flush": True, "flushed_tiles": n,
          "wall_sec": round(time.time() - t0, 3)}
     )
-    with open(log_path, "w") as f:
-        json.dump(log, f, indent=1, sort_keys=True)
+    _atomic_json_write(log_path, log)
     return n
 
 

@@ -283,9 +283,13 @@ def run_incremental_build(
             return json.load(f)
 
     def write_log(log: list) -> None:
+        # atomic rename: a crash mid-write must never leave torn JSON in
+        # the exactly-once ledger (ADVICE r5)
         os.makedirs(planet_dir, exist_ok=True)
-        with open(log_path, "w") as f:
+        tmp = log_path + ".__tmp"
+        with open(tmp, "w") as f:
             json.dump(log, f, indent=1, sort_keys=True)
+        os.replace(tmp, log_path)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         log = read_log()

@@ -104,3 +104,70 @@ def test_q60_oracle(spark, sf_dir):
 
     res = compare_against_oracle(spark, sf_dir, names={"q60_bloom_dedup"})
     assert res["q60_bloom_dedup"].get("match") is True, res
+
+
+def test_wide_build_tree_merges_executor_side(spark):
+    """>=512-partition resident input: the build must take the depth-2
+    executor-side merge path (one bitmap row to the driver) and still
+    honor the no-false-negative guarantee."""
+    res = spark.range(0, 60_000, 1, 512).selectExpr(
+        "concat('wide_', id) as k"
+    )
+    assert res.rdd.getNumPartitions() == 512
+    bloom = bloom_build(res, "k", expected=60_000, fpp=0.01)
+    misses = (
+        bloom_might_contain(res, "k", bloom, "m").where(~F.col("m")).count()
+    )
+    assert misses == 0
+    probe = spark.range(10_000).selectExpr("concat('nope_', id) as k")
+    fp = bloom_might_contain(probe, "k", bloom, "m").where(F.col("m")).count()
+    assert fp <= 10_000 * 0.04, fp
+
+
+def test_sharded_family(spark):
+    """The documented hash-prefix family: per-shard builds over pmod
+    slices, probe routed by the same pmod — union of shard verdicts ==
+    single-filter semantics (no false negatives, fp bounded)."""
+    S = 4
+    res = _resident(spark, 8_000)
+    shard_of = lambda df: df.withColumn(  # noqa: E731
+        "_s", F.pmod(F.xxhash64(F.col("k"), F.lit(2)), F.lit(S))
+    )
+    res_s = shard_of(res)
+    family = [
+        bloom_build(
+            res_s.where(F.col("_s") == s), "k", expected=8_000 // S, fpp=0.01
+        )
+        for s in range(S)
+    ]
+    probe = shard_of(
+        res.select("k").unionByName(
+            spark.range(8_000).selectExpr("concat('other_', id) as k")
+        )
+    )
+    flagged = None
+    for s in range(S):
+        part = bloom_might_contain(
+            probe.where(F.col("_s") == s), "k", family[s], "m"
+        )
+        flagged = part if flagged is None else flagged.unionByName(part)
+    # every resident key still probes true through its shard
+    miss = (
+        flagged.join(res.select("k"), "k", "left_semi")
+        .where(~F.col("m"))
+        .count()
+    )
+    assert miss == 0
+    fp = (
+        flagged.join(res.select("k"), "k", "left_anti")
+        .where(F.col("m"))
+        .count()
+    )
+    assert fp <= 8_000 * 0.04, fp
+
+
+def test_explicit_nbits_without_expected_gets_sane_k(spark):
+    """ADVICE r5: n_bits without expected must not derive k from
+    expected=1 (which saturated at the 16 cap and inflated fpp)."""
+    bloom = bloom_build(_resident(spark, 500), "k", n_bits=1 << 16)
+    assert bloom.n_hashes == 7

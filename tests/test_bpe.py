@@ -77,3 +77,37 @@ def test_q59_oracle(spark, sf_dir):
 
     res = compare_against_oracle(spark, sf_dir, names={"q59_bpe_subword"})
     assert res["q59_bpe_subword"].get("match") is True, res
+
+
+def test_unicode_whitespace_parity(spark):
+    """ADVICE r5: the learn-side JVM splitter and the encode-side Python
+    str.split() must tokenize identically — including non-ASCII
+    whitespace (NBSP, EM SPACE, NEL, file separators)."""
+    from pvt_spark.functions.bpe import bpe_encode, bpe_learn
+
+    texts = [
+        "aa\xa0bb aa bb　aa",      # nbsp, em space, ideographic
+        "cc\x85dd\x1ccc\x1fdd",              # NEL + file/unit separators
+        "aa bb aa bb cc dd cc",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = bpe_learn(df, n_merges=4, min_count=2)
+    # driver-side replay with Python split on the SAME corpus
+    from pvt_spark.functions.bpe import learn_merges_from_counts
+
+    counts: dict = {}
+    for t in texts:
+        for w in t.lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    assert merges == learn_merges_from_counts(counts, 4, min_count=2)
+    # encode agrees with a scalar replay token-for-token
+    enc = {r.doc_id: r.bpe for r in bpe_encode(df, merges).collect()}
+    from pvt_spark.functions.bpe import encode_word
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    for i, t in enumerate(texts):
+        want = []
+        for w in t.lower().split():
+            want.extend(encode_word(w, ranks))
+        assert enc[i] == want, i
