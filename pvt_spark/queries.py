@@ -3671,32 +3671,37 @@ ORDER BY user_id
 """
 
 
-def q65_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style language-model quality scoring in exact integers: a
-    word-bigram LM with add-one smoothing trained on the first 200
-    docs, scoring every doc by average integer "surprise" —
-    ``surprise(w1, w2) = (c1(w1) + V) * 1000 div (c12(w1, w2) + 1)``,
-    the integer reciprocal of the Laplace bigram probability (monotone
-    in -log p, exact in int64, so the oracle replays it bit-for-bit; a
-    float log-perplexity would hang certification on libm ulps).
-    High surprise = improbable text under the in-domain LM — the
-    filter direction CCNet/RefinedWeb use for quality.
+def lm_surprise_scores(
+    docs: DataFrame,
+    train_docs: int = 200,
+    max_unigrams: int | None = None,
+    max_bigrams: int | None = None,
+) -> DataFrame:
+    """CCNet-style integer bigram-LM surprise scoring (the q65 engine,
+    reusable with caps).
 
-    Scale shape: the count tables are vocabulary-sized (Heaps' law) —
-    they BROADCAST; scoring is one bigram explode over the corpus, two
-    broadcast joins, one groupBy(doc). No corpus-sized shuffle beyond
-    the per-doc aggregate."""
-    (docs,) = load(spark, sf_dir, "documents")
+    ``max_unigrams``/``max_bigrams`` (VERDICT r5 item 5): top-K-by-
+    frequency caps on the broadcast count tables, deterministic
+    ``(-count, key)`` order. The Heaps-law argument that makes the
+    tables "vocabulary-sized" fails on adversarial corpora (random
+    hex/base64 makes them corpus-sized and the broadcast a driver OOM);
+    with a cap, words/bigrams beyond the top K count as UNSEEN
+    (c1 = 0 / c12 = 0 -> maximum surprise), which is the conservative
+    direction for a quality filter: garbage that blew the vocabulary
+    scores as improbable. The declared q65 passes None (exact historical
+    semantics; its fixture corpus is natural text)."""
     words = docs.select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), w -> w != '')").alias("ws"),
     )
-    train = words.where(F.col("doc_id") < 200)
+    train = words.where(F.col("doc_id") < train_docs)
     uni = (
         train.select(F.explode("ws").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
+    if max_unigrams is not None:
+        uni = uni.orderBy(F.desc("c1"), F.asc("w")).limit(max_unigrams)
     # CASE guard: sequence(1, 0) is DESCENDING in Spark (the q42 trap),
     # so sub-2-word docs must short-circuit to an empty array
     big_expr = (
@@ -3710,6 +3715,8 @@ def q65_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
+    if max_bigrams is not None:
+        bi = bi.orderBy(F.desc("c12"), F.asc("b")).limit(max_bigrams)
     v = uni.count()
     scored = (
         words.select(
@@ -3743,6 +3750,15 @@ def q65_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q65_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer bigram-LM quality scoring over the fixture corpus — the
+    declared (oracle-certified) instantiation of ``lm_surprise_scores``
+    with UNCAPPED vocabularies (the fixture is natural text; production
+    corpora pass max_unigrams/max_bigrams — see that docstring)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return lm_surprise_scores(docs)
 
 
 Q65_SQL = """
@@ -3869,34 +3885,26 @@ REGISTRY: dict[str, tuple] = {
 
 # --- Driver-gate ordering -------------------------------------------------
 # The external correctness gate certifies ``queries()`` in iteration
-# order and caps at 50 entries: CORRECTNESS_r04 holds exactly the first
-# 50 registry keys while the registry held 57 (rounds 1-3, under 50
-# queries, always covered the whole registry). So iteration order IS
-# gate coverage. Policy: keys that have never appeared in a
-# CORRECTNESS_r*.json go FIRST (new queries are certified the round
-# they land); the tail holds the longest-certified queries — q01..q10
-# were hash-exact in every round since r01 and are the least likely to
-# regress silently. Queries outside the window are still covered by
-# the committed full-registry self-run (scripts/oracle_check.py ->
+# order and caps at 50 entries (CORRECTNESS_r04/r05 hold exactly the
+# first 50 registry keys), so iteration order IS gate coverage.
+# ROTATION POLICY (VERDICT r5 item 3): brand-new queries go first (they
+# must be certified the round they land); after them, slots go to the
+# LEAST-RECENTLY driver-certified entries, so every query is driver-
+# re-certified within ~2 rounds. Certification history by round:
+#   r03: full registry (q01..q45 era)         -> q01..q10 last green r03
+#   r04: first 50 of 57 (q46..q50 in window)  -> q46..q50 last green r04
+#   r05: first 50 of 65 (q51..q65 + q11..q45) -> those last green r05
+# Round 6 adds no queries, so the window rotates to the stalest 50:
+# q01..q10 (r03) first, then q46..q50 (r04), then q11..q45 (r05);
+# q51..q65 — certified LAST round — rotate out and stay covered by the
+# committed full-registry self-run (scripts/oracle_check.py ->
 # BENCH/CORRECTNESS_SELF_r*.json) and the pytest oracle tests.
-_GATE_FIRST = [
-    "q65_lm_surprise",
-    "q64_funnel",
-    "q63_daily_resample",
-    "q62_host_triangles",
-    "q61_pq_topk",
-    "q60_bloom_dedup",
-    "q59_bpe_subword",
-    "q51_range_join",
-    "q52_radius_join",
-    "q53_group_quantiles",
-    "q54_mbr_overlap",
-    "q55_topk_per_group",
-    "q56_streaming_asof",
-    "q57_mutual_nn",
-    "q58_asof_split",
-]
-_GATE_LAST = [f"q{i:02d}_" for i in range(1, 11)]
+# Invariant after this round: max certification age = 1 round.
+_GATE_FIRST = (
+    [k for k in REGISTRY if any(k.startswith(f"q{i:02d}_") for i in range(1, 11))]
+    + [k for k in REGISTRY if any(k.startswith(f"q{i}_") for i in range(46, 51))]
+)
+_GATE_LAST = [f"q{i}_" for i in range(51, 66)]
 _gate_last = [k for k in REGISTRY if any(k.startswith(p) for p in _GATE_LAST)]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _GATE_FIRST},

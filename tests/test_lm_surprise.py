@@ -50,3 +50,35 @@ def test_q65_oracle(spark, sf_dir):
 
     res = compare_against_oracle(spark, sf_dir, names={"q65_lm_surprise"})
     assert res["q65_lm_surprise"].get("match") is True, res
+
+
+def test_vocab_cap_on_high_entropy_corpus(spark):
+    """VERDICT r5 item 5: the broadcast vocabulary caps. A synthetic
+    high-entropy corpus (every word unique hex) would make the count
+    tables corpus-sized; with caps the tables stay K-sized and capped-
+    out grams count as unseen -> maximum surprise (the conservative
+    quality-filter direction)."""
+    from pvt_spark.queries import lm_surprise_scores
+    import pyspark.sql.functions as F
+
+    docs = spark.range(300).selectExpr(
+        "id as doc_id",
+        # 12 unique hex 'words' per doc: vocabulary ~ corpus size
+        "concat_ws(' ', transform(sequence(0, 11),"
+        " i -> hex(xxhash64(id, i)))) as text",
+    )
+    capped = lm_surprise_scores(
+        docs, max_unigrams=100, max_bigrams=100
+    ).collect()
+    assert len(capped) == 300
+    # V is the CAPPED vocab; every scored bigram is unseen under the
+    # capped tables except the top-100, so surprise is at its unseen
+    # ceiling (c1=0, c12=0 -> V * 1000) for out-of-cap docs
+    by_doc = {r.doc_id: r for r in capped}
+    assert all(r.n_bigrams == 11 for r in capped)
+    assert max(r.avg_surprise_milli for r in capped) <= 100_000 + 100
+    # uncapped == declared q65 semantics on the same frame
+    uncapped = lm_surprise_scores(docs).collect()
+    assert len(uncapped) == 300
+    # caps change scores only via V and unseen fallback, never row count
+    assert {r.doc_id for r in uncapped} == set(by_doc)
