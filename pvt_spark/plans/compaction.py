@@ -460,15 +460,22 @@ def _recompose_dirty_tiles(
                 projected=True,
             )
             mp_keys = mp_dirty.select("zoom", "tile_h").distinct()
-            if mp_keys.count() <= 200_000:
+            n_mp = mp_keys.count()
+            if n_mp <= 200_000:
                 keys = frozenset(
                     (int(r.zoom) << 50) | int(r.tile_h) for r in mp_keys.collect()
                 )
+                # phase-2 width follows the chunk count, not the conf
+                # (see the pipeline compose note)
                 recomposed = compose_points_presorted(
                     rf,
                     _layer_order(config),
-                    merge_partitions=int(
-                        spark.conf.get("spark.sql.shuffle.partitions", "32")
+                    merge_partitions=max(
+                        8,
+                        min(
+                            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                            n_mp // 4000 + 1,
+                        ),
                     ),
                     exclude_keys=keys,
                     extra_chunks=gchunks,

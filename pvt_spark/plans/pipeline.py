@@ -504,15 +504,27 @@ def build_planet(
         # chunks. Very way-dense planets (mp tile set beyond the bounded
         # driver collect below) fall back to all-chunks.
         mp_keys = content_mp.select("zoom", "tile_h").distinct()
-        if mp_keys.count() <= 200_000:
+        n_mp = mp_keys.count()
+        if n_mp <= 200_000:
             keys = frozenset(
                 (int(r.zoom) << 50) | int(r.tile_h) for r in mp_keys.collect()
             )
+            # phase-2 width follows the CHUNK count (~one row per mp
+            # tile), not the corpus-shuffle conf: an explicit partition
+            # count blocks AQE coalescing, and 128 Python merge tasks
+            # over a few thousand chunk rows each paid ~4s of pure
+            # worker dispatch at the bench shape (measured; ~4k chunk
+            # rows per task is the sweet spot, conf stays the ceiling
+            # for way-dense planets)
             return compose_points_presorted(
                 rf,
                 _layer_order(config),
-                merge_partitions=int(
-                    spark.conf.get("spark.sql.shuffle.partitions", "32")
+                merge_partitions=max(
+                    8,
+                    min(
+                        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                        n_mp // 4000 + 1,
+                    ),
                 ),
                 exclude_keys=keys,
                 extra_chunks=gchunks,
