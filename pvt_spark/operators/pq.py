@@ -32,6 +32,7 @@ aggregate rows, not data rows.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -46,6 +47,43 @@ def quantize_expr(vec_col: str) -> str:
     """The certified milli-quantization idiom (q39/q57): float vector ->
     exact int64 vector, identical in Spark and DuckDB."""
     return f"transform({vec_col}, e -> cast(round(e * 1000) as bigint))"
+
+
+def _argmin_codes_exact(vj: np.ndarray, cbj: np.ndarray) -> np.ndarray:
+    """Exact-integer nearest-code argmin for one subspace, first (=
+    lowest) index wins ties.
+
+    Fast path: when every |value| is small enough that
+    3 * dsub * M^2 < 2^53, the score -2*v.c + ||c||^2 is an integer
+    computed EXACTLY in float64 (every product and partial sum is an
+    integer below 2^53), so a cache-blocked BLAS GEMM gives the
+    bit-identical argmin ~10x faster than int64 matmul (numpy int
+    matmul is a naive loop). Milli-quantized unit vectors are ~1e3,
+    the guard admits up to ~1.8e7 at dsub=8. Larger magnitudes fall
+    back to exact int64 arithmetic — never to approximate math.
+    """
+    dsub = vj.shape[1]
+    m_cap = int(math.sqrt((1 << 53) / (3.0 * max(1, dsub))))
+    mx = 0
+    if len(vj):
+        mx = max(mx, int(np.abs(vj).max()))
+    if len(cbj):
+        mx = max(mx, int(np.abs(cbj).max()))
+    if mx <= m_cap:
+        vf = vj.astype(np.float64)
+        cf = cbj.astype(np.float64)
+        cn = (cf * cf).sum(axis=1)
+        out = np.empty(len(vf), dtype=np.int64)
+        for s in range(0, len(vf), 8192):
+            e = s + 8192
+            out[s:e] = (-2.0 * (vf[s:e] @ cf.T) + cn[None, :]).argmin(axis=1)
+        return out
+    d = (
+        (vj * vj).sum(axis=1)[:, None]
+        - 2 * (vj @ cbj.T)
+        + (cbj * cbj).sum(axis=1)[None, :]
+    )
+    return np.argmin(d, axis=1)
 
 
 def _trunc_div(s: int, c: int) -> int:
@@ -92,13 +130,8 @@ def _assign_codes_udf(spark, codebook: PQCodebook):
         out = np.empty((len(v), m), dtype=np.int32)
         for j in range(m):
             vj = v[:, j * dsub : (j + 1) * dsub]  # (n, dsub)
-            # exact int64 expansion: ||v||^2 - 2 v.C^T + ||c||^2
-            d = (
-                (vj * vj).sum(axis=1)[:, None]
-                - 2 * (vj @ cb[j].T)
-                + (cb[j] * cb[j]).sum(axis=1)[None, :]
-            )
-            out[:, j] = np.argmin(d, axis=1)  # first min = lowest code
+            # exact-integer argmin (guarded f64 GEMM fast path)
+            out[:, j] = _argmin_codes_exact(vj, cb[j])
         return pd.Series(list(out))
 
     return assign
@@ -157,7 +190,6 @@ def pq_train(
         def partials(batches):
             cb = bc.value  # (m, ksub, dsub) int64
             m, ksub_, ds = cb.shape
-            cnorm = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -165,12 +197,8 @@ def pq_train(
                 js, codes, ns, svecs = [], [], [], []
                 for j in range(m):
                     vj = v[:, j * ds : (j + 1) * ds]
-                    d = (
-                        (vj * vj).sum(axis=1)[:, None]
-                        - 2 * (vj @ cb[j].T)
-                        + cnorm[j][None, :]
-                    )
-                    a = np.argmin(d, axis=1)  # first min = lowest code
+                    # exact-integer argmin (guarded f64 GEMM fast path)
+                    a = _argmin_codes_exact(vj, cb[j])
                     sums = np.zeros((ksub_, ds), dtype=np.int64)
                     np.add.at(sums, a, vj)
                     counts = np.bincount(a, minlength=ksub_)
