@@ -402,6 +402,7 @@ def _recompose_dirty_tiles(
     steps: dict | None = None,
     n_dirty: int | None = None,
     dirty_keys: list | None = None,
+    defer_manifest: bool = False,
 ) -> None:
     """Re-cluster the dirty keys' (old + delta) content in memory (hash
     partition + sort — the compose contract, without the parquet round
@@ -496,15 +497,31 @@ def _recompose_dirty_tiles(
         # manifest splice + zoom metrics recompute (both tile-bounded).
         # The spliced manifest is persisted so the metrics rollup reads
         # the cache instead of re-scanning the just-written parquet.
+        # ``defer_manifest`` (streaming drains): the splice is the last
+        # per-fold O(planet-tiles) term — instead, the fold appends its
+        # delta-bounded per-tile counts (one row per dirty key, stamped
+        # with the generation) to ``_manifest_delta`` and
+        # ``resolve_manifest`` folds the log into the base table ONCE at
+        # drain end (latest-generation-wins, the tiles_delta discipline;
+        # base manifest + zoom metrics serve stale until then, the same
+        # staleness contract _deferred_dirty tiles already have).
         def _manifest_metrics() -> None:
-            man_path = _stage_path(planet_dir, "tile_manifest")
-            old_man = spark.read.parquet(man_path)
             man_input = dirty_sorted.select("zoom", "tile_h", "feature_id")
             if mp_dirty is not None:
                 man_input = man_input.unionByName(
                     mp_dirty.select("zoom", "tile_h", "feature_id")
                 )
             new_counts = tile_manifest(man_input)
+            if defer_manifest:
+                (
+                    new_counts.withColumn("gen", F.lit(gen))
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(os.path.join(planet_dir, "_manifest_delta"))
+                )
+                return
+            man_path = _stage_path(planet_dir, "tile_manifest")
+            old_man = spark.read.parquet(man_path)
             spliced = (
                 old_man.join(
                     F.broadcast(dirty), ["zoom", "tile_h"], "left_anti"
@@ -554,8 +571,16 @@ def compact_planet(
     config: BuildConfig | None = None,
     defer_zoom_below: int | None = None,
     stream_batch_id: int | None = None,
+    defer_manifest: bool = False,
 ) -> dict:
     """Fold a delta page batch into an existing planet build.
+
+    ``defer_manifest`` (streaming drains): per-fold manifest/metrics
+    maintenance appends delta-bounded count rows to ``_manifest_delta``
+    instead of splicing the planet-sized manifest table; call
+    ``resolve_manifest`` when the drain ends (run_incremental_build does
+    this) — until then the base manifest and zoom metrics serve their
+    pre-drain state, the same staleness contract as _deferred_dirty.
 
     Returns a summary dict (generation, dirty tile count, delta rows).
     ``stream_batch_id`` (the streaming exactly-once marker) is written
@@ -772,6 +797,7 @@ def compact_planet(
         _recompose_dirty_tiles(
             spark, planet_dir, dirty_now, config, compiled, gen, steps=steps,
             n_dirty=n_dirty - deferred_n, dirty_keys=dirty_now_keys,
+            defer_manifest=defer_manifest,
         )
         f_tree.result()
         f_points.result()
@@ -837,8 +863,59 @@ def read_tiles(spark: SparkSession, planet_dir: str) -> DataFrame:
     )
 
 
+def resolve_manifest(
+    spark: SparkSession, planet_dir: str
+) -> int:
+    """Fold the ``_manifest_delta`` log (written by defer_manifest folds)
+    into the base tile_manifest — latest-generation-wins per
+    (zoom, tile_h), exactly the tiles_delta discipline — and recompute
+    zoom_metrics from the resolved table. O(planet tiles) ONCE per
+    drain instead of once per fold. Returns the number of delta rows
+    folded (0 = nothing to do). Idempotent: a crash before the log
+    removal re-folds the same rows to the same result (each key's
+    latest generation is deterministic)."""
+    ddir = os.path.join(planet_dir, "_manifest_delta")
+    if not os.path.isdir(ddir):
+        return 0
+    deltas = spark.read.parquet(ddir)
+    n = deltas.count()
+    if n == 0:
+        shutil.rmtree(ddir)
+        return 0
+    w = Window.partitionBy("zoom", "tile_h").orderBy(F.col("gen").desc())
+    latest = (
+        deltas.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "gen")
+    )
+    man_path = _stage_path(planet_dir, "tile_manifest")
+    old_man = spark.read.parquet(man_path)
+    spliced = (
+        old_man.join(
+            deltas.select("zoom", "tile_h").distinct(),
+            ["zoom", "tile_h"],
+            "left_anti",
+        )
+        .unionByName(latest.select(*old_man.columns))
+        .persist()
+    )
+    metrics = zoom_metrics_from_manifest(spliced)
+    metrics_rows = metrics.collect()
+    _swap_write(spliced, man_path)
+    _refresh_lineage(planet_dir, "tile_manifest", -1)
+    _swap_write(
+        spark.createDataFrame(metrics_rows, metrics.schema),
+        _stage_path(planet_dir, "zoom_metrics"),
+    )
+    spliced.unpersist()
+    _refresh_lineage(planet_dir, "zoom_metrics", -1)
+    shutil.rmtree(ddir)
+    return int(n)
+
+
 def flush_deferred(
-    spark: SparkSession, planet_dir: str, config: BuildConfig | None = None
+    spark: SparkSession, planet_dir: str, config: BuildConfig | None = None,
+    defer_manifest: bool = False,
 ) -> int:
     """Fold the accumulated low-zoom deferred dirty set (from
     ``compact_planet(..., defer_zoom_below=z)``) into a new tile
@@ -875,7 +952,8 @@ def flush_deferred(
     compiled = compile_rules(config.manifest)
     t0 = time.time()
     _recompose_dirty_tiles(
-        spark, planet_dir, pending, config, compiled, gen, n_dirty=n
+        spark, planet_dir, pending, config, compiled, gen, n_dirty=n,
+        defer_manifest=defer_manifest,
     )
     pending.unpersist()
     shutil.rmtree(ddir)

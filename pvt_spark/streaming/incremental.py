@@ -270,7 +270,11 @@ def run_incremental_build(
     import json
     import os
 
-    from ..plans.compaction import compact_planet, flush_deferred
+    from ..plans.compaction import (
+        compact_planet,
+        flush_deferred,
+        resolve_manifest,
+    )
     from ..plans.pipeline import BuildConfig, build_planet
 
     config = config or BuildConfig()
@@ -318,10 +322,14 @@ def run_incremental_build(
         applied = {r["stream_batch_id"] for r in log if "stream_batch_id" in r}
         if batch_id in applied:
             return  # crash-replay of an already-folded batch
+        # manifest maintenance defers to a delta log during the drain
+        # (the splice was the last per-fold O(planet-tiles) term) and
+        # resolves once after awaitTermination below
         compact_planet(
             spark, planet_dir, batch_df, config,
             defer_zoom_below=defer_zoom_below,
             stream_batch_id=batch_id,
+            defer_manifest=True,
         )
         if defer_zoom_below is not None and flush_every:
             # count compaction records (not bootstrap, not flushes)
@@ -334,7 +342,9 @@ def run_incremental_build(
                 elif not r.get("bootstrap") and "bootstrap_pending" not in r:
                     since_flush += 1
             if since_flush >= flush_every:
-                flush_deferred(spark, planet_dir, config)
+                flush_deferred(
+                    spark, planet_dir, config, defer_manifest=True
+                )
 
     q = (
         read_pages_stream(spark, pages_dir, max_files_per_trigger)
@@ -345,6 +355,10 @@ def run_incremental_build(
     )
     if await_termination:
         q.awaitTermination()
+        # fold the per-batch manifest delta log into the base table once
+        # (latest-generation-wins). A crash before this point leaves the
+        # log in place; the next drain's resolve folds it — idempotent.
+        resolve_manifest(spark, planet_dir)
     return q
 
 

@@ -258,3 +258,58 @@ def test_dirty_content_interval_pruning(spark, tmp_path):
     assert "9000" in plan and "109" in plan, plan[:1500]
     rows = {r.tile_h for r in got.collect()}
     assert rows == set(range(100, 110)) | set(range(9000, 9010))
+
+
+def test_resolve_manifest_latest_wins_and_idempotent(spark, tmp_path):
+    """The deferred-manifest log folds latest-generation-wins, tolerates
+    duplicate appends (crash-replayed folds rewrite identical rows), and
+    resolving twice is a no-op."""
+    import os
+
+    from pvt_spark.plans.compaction import resolve_manifest
+
+    planet = str(tmp_path / "planet")
+    os.makedirs(planet)
+    base = spark.createDataFrame(
+        [(12, 1, 5, 5), (12, 2, 7, 7), (10, 9, 3, 3)],
+        "zoom int, tile_h long, feature_count long, distinct_features long",
+    )
+    base.write.parquet(os.path.join(planet, "tile_manifest"))
+    spark.createDataFrame(
+        [(12, 1)], "zoom int, tile_count long"
+    ).write.parquet(os.path.join(planet, "zoom_metrics"))
+    ddir = os.path.join(planet, "_manifest_delta")
+    rows = [
+        (12, 1, 6, 6, 1),          # updates base key at gen 1
+        (12, 1, 8, 8, 2),          # ... superseded by gen 2
+        (12, 1, 8, 8, 2),          # crash-replay duplicate (identical)
+        (12, 5, 2, 2, 2),          # brand-new key
+    ]
+    spark.createDataFrame(
+        rows,
+        "zoom int, tile_h long, feature_count long, distinct_features long,"
+        " gen int",
+    ).write.mode("append").parquet(ddir)
+    n = resolve_manifest(spark, planet)
+    assert n == 4
+    got = {
+        (r.zoom, r.tile_h): (r.feature_count, r.distinct_features)
+        for r in spark.read.parquet(
+            os.path.join(planet, "tile_manifest")
+        ).collect()
+    }
+    assert got == {
+        (12, 1): (8, 8),
+        (12, 2): (7, 7),
+        (10, 9): (3, 3),
+        (12, 5): (2, 2),
+    }
+    mets = {
+        r.zoom: (r.tile_count, r.feature_rows)
+        for r in spark.read.parquet(
+            os.path.join(planet, "zoom_metrics")
+        ).collect()
+    }
+    assert mets == {12: (3, 17), 10: (1, 3)}
+    assert not os.path.isdir(ddir)
+    assert resolve_manifest(spark, planet) == 0  # idempotent no-op
