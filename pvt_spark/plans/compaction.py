@@ -430,12 +430,18 @@ def _recompose_dirty_tiles(
     # consumers below (gen write, manifest splice) both read it instead
     # of racing to recompute the scan+shuffle.
     t_step = time.time()
+    # cluster width follows the DIRTY TILE count (~500 tiles per python
+    # phase-1 task), not the corpus conf: an explicit conf-width
+    # repartition spread a few thousand dirty tiles over 128 python
+    # tasks and wrote hundreds of near-empty gen files per fold
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = (
+        max(8, min(conf_parts, n_dirty // 500 + 1))
+        if n_dirty is not None
+        else conf_parts
+    )
     dirty_sorted = (
-        dirty_all.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-            "zoom",
-            "tile_h",
-        )
+        dirty_all.repartition(n_parts, "zoom", "tile_h")
         .sortWithinPartitions("zoom", "tile_h")
         .persist()
     )
