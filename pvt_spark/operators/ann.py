@@ -260,6 +260,57 @@ def _assign_numpy(vectors: DataFrame, centroids: DataFrame, vec_col: str):
     return vectors.withColumn("centroid_id", nearest(F.col(vec_col))), bc
 
 
+def _assign_encode_fused(vectors: DataFrame, centroids: DataFrame, codebook,
+                         vec_col: str):
+    """(vectors + centroid_id + codes, Broadcast) in ONE Arrow pass.
+
+    The index build/append pipeline previously crossed the Python
+    boundary twice per vector (centroid argmin, then PQ code argmin on
+    the SQL-quantized copy) with a Catalyst per-element quantize
+    transform in between. Here the float vector crosses ONCE and the
+    quantize runs as the bit-exact numpy twin (``quantize_np``), so the
+    stored centroid_id/codes are identical to the unfused path —
+    guarded by the quantize parity test and the build-path equality
+    test. Caller owns the broadcast's lifetime (same contract as
+    ``_assign_numpy``)."""
+    from .pq import _argmin_codes_exact, quantize_np
+
+    rows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
+    if not rows:
+        raise ValueError("empty centroid table")
+    cids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+    cmat = np.array([r.cv for r in rows], dtype=np.float64)
+    bc = vectors.sparkSession.sparkContext.broadcast(
+        (cids, cmat, codebook.codes)
+    )
+
+    @F.pandas_udf("centroid_id bigint, codes array<int>")
+    def fused(vec: pd.Series) -> pd.DataFrame:
+        ids, cm, cb = bc.value
+        if not len(vec):
+            return pd.DataFrame(
+                {"centroid_id": pd.Series([], dtype="int64"),
+                 "codes": pd.Series([], dtype=object)}
+            )
+        v = np.vstack(vec.to_numpy())
+        cid = ids[_argmin_cells(v, cm)]
+        qv = quantize_np(v)
+        m, _, dsub = cb.shape
+        out = np.empty((len(v), m), dtype=np.int32)
+        for j in range(m):
+            out[:, j] = _argmin_codes_exact(qv[:, j * dsub:(j + 1) * dsub], cb[j])
+        return pd.DataFrame({"centroid_id": cid, "codes": list(out)})
+
+    fused_col = fused(F.col(vec_col))
+    assigned = (
+        vectors.withColumn("_ac", fused_col)
+        .withColumn("centroid_id", F.col("_ac.centroid_id"))
+        .withColumn("codes", F.col("_ac.codes"))
+        .drop("_ac")
+    )
+    return assigned, bc
+
+
 def ivf_search(
     vectors_assigned: DataFrame,
     centroids: DataFrame,
@@ -399,9 +450,8 @@ def ivf_index_build(
     # the persisted copy need not be read back
     cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     dim = len(cents.first()["cv"])
-    assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
     if pq_m is not None:
-        from .pq import pq_encode, pq_train, quantize_expr
+        from .pq import pq_train, quantize_expr
 
         qexpr = quantize_expr(vec_col)
         codebook = pq_train(
@@ -412,10 +462,11 @@ def ivf_index_build(
         _pq_codebook_to_df(spark, codebook).write.mode("overwrite").parquet(
             os.path.join(index_dir, "pq_codebook")
         )
-        assigned = pq_encode(
-            assigned.withColumn("__qv", F.expr(qexpr)),
-            codebook, id_col=id_col, vec_col="__qv",
-        ).drop("__qv")
+        # one fused Arrow pass: centroid assign + quantize + PQ encode
+        # (identical output to ivf_assign + SQL quantize + pq_encode)
+        assigned, _bc = _assign_encode_fused(vectors, cents, codebook, vec_col)
+    else:
+        assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
     (
         assigned.repartition("centroid_id")
         .write.mode("overwrite")
@@ -481,19 +532,18 @@ def ivf_index_append(
     if n_new == 0:
         return desc
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    assigned = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
     if desc.get("pq_m"):
         # the PQ codebook is as frozen as the centroids: new vectors
-        # encode against it so the appended rows stay ADC-searchable
-        from .pq import pq_encode, quantize_expr
-
+        # encode against it so the appended rows stay ADC-searchable —
+        # assign + quantize + encode in one fused Arrow pass
         codebook = _pq_codebook_from_df(
             spark.read.parquet(os.path.join(index_dir, "pq_codebook"))
         )
-        assigned = pq_encode(
-            assigned.withColumn("__qv", F.expr(quantize_expr(vec_col))),
-            codebook, id_col=id_col, vec_col="__qv",
-        ).drop("__qv")
+        assigned, _bc = _assign_encode_fused(
+            new_vectors, cents, codebook, vec_col
+        )
+    else:
+        assigned = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
     (
         assigned.repartition("centroid_id")
         .write.mode("append")

@@ -49,6 +49,27 @@ def quantize_expr(vec_col: str) -> str:
     return f"transform({vec_col}, e -> cast(round(e * 1000) as bigint))"
 
 
+def quantize_np(v: np.ndarray) -> np.ndarray:
+    """Bit-exact numpy twin of ``quantize_expr``: float64 matrix ->
+    int64 milli vectors with Spark's ``round`` semantics (HALF_UP —
+    halves away from zero, unlike ``np.round``'s half-to-even).
+
+    Exactness: ``e * 1000`` is the same IEEE-754 double product in both
+    runtimes. Spark then rounds via the decimal expansion of that
+    double; for |x| < 2^52, ``floor(|x|)`` is exact and ``|x| -
+    floor(|x|)`` is exact (two doubles within 1 of each other), and the
+    half boundary k+0.5 is itself a representable double, so the
+    comparison ``frac >= 0.5`` lands on the same side as the decimal
+    expansion does — the two paths agree on every double in range
+    (property-tested against the SQL expression incl. exact halves and
+    1-ulp-from-half adversaries in test_pq.py)."""
+    x = v * 1000.0
+    ax = np.abs(x)
+    fl = np.floor(ax)
+    r = fl + (ax - fl >= 0.5)
+    return np.where(x < 0, -r, r).astype(np.int64)
+
+
 def _argmin_codes_exact(vj: np.ndarray, cbj: np.ndarray) -> np.ndarray:
     """Exact-integer nearest-code argmin for one subspace, first (=
     lowest) index wins ties.

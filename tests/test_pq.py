@@ -221,6 +221,73 @@ def test_persisted_pq_index_and_append(spark, tmp_path):
     assert json.load(open(os.path.join(idx, "_index.json")))["pq_m"] == 8
 
 
+def test_quantize_np_parity(spark):
+    """quantize_np == the SQL quantize_expr bit-for-bit, including
+    HALF_UP adversaries (exact halves, 1-ulp-from-half, negatives)."""
+    import math
+
+    from pvt_spark.operators.pq import quantize_np
+
+    half_adv = []
+    for k in [0, 1, 2, 7, 499, 10**6]:
+        for s in (1.0, -1.0):
+            t = s * (k + 0.5) / 1000.0  # product may land on/near k+0.5
+            half_adv += [t, math.nextafter(t, 0.0), math.nextafter(t, s * 2.0)]
+    rows = [
+        (0, half_adv),
+        (1, [0.0, -0.0, 1e-12, -1e-12, 0.9994999, -0.9995001]),
+        (2, [(h * 7919 % 2000 - 1000) / 997.0 for h in range(36)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    got_sql = {
+        r.vec_id: list(r.qv)
+        for r in df.selectExpr("vec_id", quantize_expr("vec") + " as qv").collect()
+    }
+    for vid, vec in rows:
+        want = quantize_np(np.array([vec], dtype=np.float64))[0].tolist()
+        assert got_sql[vid] == want, (vid, got_sql[vid], want)
+
+
+def test_fused_assign_encode_matches_unfused(spark, tmp_path):
+    """The ivf_index_build fused Arrow pass stores exactly the
+    centroid_id/codes the unfused ivf_assign + SQL quantize + pq_encode
+    chain produces against the same persisted centroids/codebook."""
+    import os
+
+    from pvt_spark.operators.ann import (
+        _pq_codebook_from_df,
+        ivf_assign,
+        ivf_index_build,
+    )
+
+    center = "cast(pmod(xxhash64(id % 9, j, 3), 1000) as double) / 500.0 - 1.0"
+    noise = "(cast(pmod(xxhash64(id, j, 4), 1000) as double) / 500.0 - 1.0) * 0.1"
+    vecs = spark.range(600).selectExpr(
+        "id as vec_id",
+        f"transform(sequence(0, 15), j -> {center} + {noise}) as vec",
+    )
+    idx = str(tmp_path / "fusedidx")
+    ivf_index_build(vecs, idx, iters=1, pq_m=4, pq_ksub=8)
+    stored = {
+        r.vec_id: (r.centroid_id, list(r.codes))
+        for r in spark.read.parquet(os.path.join(idx, "vectors")).collect()
+    }
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    cbook = _pq_codebook_from_df(
+        spark.read.parquet(os.path.join(idx, "pq_codebook"))
+    )
+    unfused = pq_encode(
+        ivf_assign(vecs, cents).withColumn(
+            "__qv", F.expr(quantize_expr("vec"))
+        ),
+        cbook, vec_col="__qv",
+    )
+    want = {
+        r.vec_id: (r.centroid_id, list(r.codes)) for r in unfused.collect()
+    }
+    assert stored == want
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
